@@ -1,0 +1,79 @@
+"""Parity tests: XLA morphology + native CCL vs OpenCV (SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from audio_analysis_tpu.ops.morphology import dilate, erode, opening
+from audio_analysis_tpu.ops.components import (
+    connected_components_with_stats,
+    _connected_components_numpy,
+)
+from audio_analysis_tpu.native import load_ccl_library
+
+
+def _rand_mask(rng, h, w, p=0.3):
+    return (rng.rand(h, w) < p).astype(np.uint8)
+
+
+@pytest.mark.parametrize("kh,kw", [(4, 4), (10, 42), (1, 42), (3, 3), (2, 5)])
+def test_dilate_matches_cv2(rng, kh, kw):
+    m = _rand_mask(rng, 64, 128)
+    ref = cv2.dilate(m, np.ones((kh, kw), np.uint8))
+    got = np.asarray(dilate(jnp.asarray(m), kh, kw)) > 0.5
+    np.testing.assert_array_equal(got.astype(np.uint8), ref)
+
+
+@pytest.mark.parametrize("kh,kw", [(4, 4), (10, 42), (1, 42), (3, 3), (2, 5)])
+def test_erode_matches_cv2(rng, kh, kw):
+    m = _rand_mask(rng, 64, 128, p=0.8)
+    ref = cv2.erode(m, np.ones((kh, kw), np.uint8))
+    got = np.asarray(erode(jnp.asarray(m), kh, kw)) > 0.5
+    np.testing.assert_array_equal(got.astype(np.uint8), ref)
+
+
+def test_open_matches_cv2(rng):
+    m = _rand_mask(rng, 100, 200, p=0.45)
+    ref = cv2.morphologyEx(m, cv2.MORPH_OPEN, np.ones((4, 4), np.uint8))
+    got = np.asarray(opening(jnp.asarray(m), 4, 4)) > 0.5
+    np.testing.assert_array_equal(got.astype(np.uint8), ref)
+
+
+def _cv2_stats_sorted(mask):
+    _, _, stats, _ = cv2.connectedComponentsWithStats(mask)
+    stats = stats[1:]  # drop background
+    return np.array(sorted(stats.tolist()))
+
+
+def _ours_sorted(stats):
+    return np.array(sorted(np.asarray(stats).tolist()))
+
+
+@pytest.mark.parametrize("p", [0.05, 0.3, 0.6])
+def test_ccl_matches_cv2(rng, p):
+    m = _rand_mask(rng, 80, 150, p=p)
+    ref = _cv2_stats_sorted(m)
+    got = _ours_sorted(connected_components_with_stats(m))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ccl_numpy_fallback_matches_cv2(rng):
+    m = _rand_mask(rng, 60, 90, p=0.4)
+    ref = _cv2_stats_sorted(m)
+    got = _ours_sorted(_connected_components_numpy(m))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ccl_native_available():
+    assert load_ccl_library() is not None, "native CCL should build with g++"
+
+
+def test_ccl_shapes():
+    m = np.zeros((10, 10), np.uint8)
+    assert connected_components_with_stats(m).shape == (0, 5)
+    m[2:5, 3:7] = 1
+    s = connected_components_with_stats(m)
+    np.testing.assert_array_equal(s, [[3, 2, 4, 3, 12]])
