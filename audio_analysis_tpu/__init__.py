@@ -20,5 +20,10 @@ Public entry points mirror the reference CLI contract (src/analyse.py:382-420).
 """
 
 from audio_analysis_tpu.version import __version__
+from audio_analysis_tpu.utils.runtime import enable_compilation_cache
+
+# Persistent XLA compile cache: load-bearing for CLI latency (fresh process
+# per recording; cold compiles of the detection programs take 6-25 s).
+enable_compilation_cache()
 
 __all__ = ["__version__"]

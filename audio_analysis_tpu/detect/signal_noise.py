@@ -1,0 +1,185 @@
+"""Spectral signal detection + end-of-data scan as static-shape TPU programs.
+
+Reference behaviour (src/identify_tracks.py:650-706, 387-413): STFT the
+recording, median-threshold, morphology, connected components. The reference
+truncates the PCM to the detected data end and re-runs numpy/OpenCV per
+recording; here the device programs take the *padded* recording plus a valid
+length scalar, so one compiled program serves any recording in a length
+bucket:
+
+- samples >= n_valid are zeroed before the STFT (provably identical frames to
+  truncating, given centre padding);
+- medians/max reduce over valid frames only (masked sort-median);
+- each morphology stage sets the invalid region to that op's identity value,
+  reproducing OpenCV's border-identity semantics at the true data boundary.
+
+Connected-component labelling runs on the host C++ op over the returned mask.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_analysis_tpu.ops.stft import stft_magnitude, num_frames
+from audio_analysis_tpu.ops.mel import fft_frequencies, mel_spec
+from audio_analysis_tpu.ops.morphology import dilate, erode
+from audio_analysis_tpu.ops.components import connected_components_with_stats
+from audio_analysis_tpu.detect.signal import Signal, SIGNAL_WIDTH
+
+
+def _masked_median_cols(x: jnp.ndarray, n_valid: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Median over `axis` counting only the first n_valid entries (others
+    must already be +inf)."""
+    s = jnp.sort(x, axis=axis)
+    lo = jnp.take_along_axis(
+        s,
+        jnp.broadcast_to((n_valid - 1) // 2, s.shape[:axis] + (1,) + s.shape[axis + 1 :]),
+        axis=axis,
+    )
+    hi = jnp.take_along_axis(
+        s,
+        jnp.broadcast_to(n_valid // 2, s.shape[:axis] + (1,) + s.shape[axis + 1 :]),
+        axis=axis,
+    )
+    return (lo + hi) * 0.5
+
+
+@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft"))
+def _signal_mask_program(frames, n_valid, *, sr, hop_length, n_fft):
+    """Device program: padded PCM + valid-sample count -> binary mask.
+
+    Mirrors reference src/identify_tracks.py:650-684 on the valid region.
+    """
+    t = frames.shape[0]
+    idx = jnp.arange(t)
+    frames = jnp.where(idx < n_valid, frames, 0.0)
+
+    spec = stft_magnitude(frames, n_fft, hop_length)  # [bins, T]
+    bins, total_frames = spec.shape
+    nvf = 1 + n_valid // hop_length  # valid frame count
+    col_idx = jnp.arange(total_frames)
+    col_valid = col_idx < nvf
+
+    a_max = jnp.max(jnp.where(col_valid[None, :], spec, 0.0))
+    spec = spec / a_max
+
+    # row medians over valid columns only; column medians over all rows
+    spec_inf = jnp.where(col_valid[None, :], spec, jnp.inf)
+    row_medians = _masked_median_cols(spec_inf, nvf, axis=1)  # [bins, 1]
+    column_medians = jnp.median(spec, axis=0, keepdims=True)  # [1, T]
+
+    mask = (spec > 3 * column_medians) & (spec > 3 * row_medians)
+    mask = (mask & col_valid[None, :]).astype(jnp.float32)
+
+    # structuring element sizes (host-static)
+    width = int(SIGNAL_WIDTH * sr / hop_length)
+    freqs = fft_frequencies(sr, n_fft)
+    height = 0
+    for i, f in enumerate(freqs):
+        if f > 100:  # freq_range=100 (reference :656,675-681)
+            height = i + 1
+            break
+
+    def set_invalid(m, value):
+        return jnp.where(col_valid[None, :], m, value)
+
+    # MORPH_OPEN 4x4 == erode then dilate
+    m = erode(set_invalid(mask, 1.0), 4, 4)
+    m = dilate(set_invalid(m, 0.0), 4, 4)
+    m = dilate(set_invalid(m, 0.0), height, width)
+    m = erode(set_invalid(m, 1.0), height // 10, width)
+    m = set_invalid(m, 0.0)
+    return _pack_bits(m)
+
+
+def _pack_bits(m: jnp.ndarray) -> jnp.ndarray:
+    """Pack a binary [R, C] mask to uint8 [R, ceil(C/8)] (np.unpackbits
+    layout, MSB first). Host transfers over the TPU tunnel run at a few
+    MB/s, so shipping the raw float mask (~84 MB for 60 s) costs tens of
+    seconds; packed it is ~2.6 MB."""
+    r, c = m.shape
+    c8 = -(-c // 8) * 8
+    mp = jnp.pad(m, ((0, 0), (0, c8 - c))).reshape(r, c8 // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
+    packed = jnp.einsum("rcb,b->rc", mp, weights)
+    return packed.astype(jnp.uint8)
+
+
+def signal_noise(frames, sr, hop_length=281, n_valid_samples=None, n_fft=4096):
+    """Detect signal boxes (reference: src/identify_tracks.py:650-706).
+
+    `frames` may be zero-padded beyond `n_valid_samples` to hit a compile
+    bucket; results match running the reference on frames[:n_valid_samples].
+    Returns a list of Signal.
+    """
+    frames = jnp.asarray(frames, dtype=jnp.float32)
+    if n_valid_samples is None:
+        n_valid_samples = frames.shape[0]
+    packed = _signal_mask_program(
+        frames, jnp.int32(n_valid_samples), sr=sr, hop_length=hop_length, n_fft=n_fft
+    )
+    n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
+    mask_np = np.unpackbits(np.asarray(packed), axis=1)[:, :n_frames_total] > 0
+
+    stats = connected_components_with_stats(mask_np)
+    stats = sorted(stats.tolist(), key=lambda stat: stat[0])
+
+    width = int(SIGNAL_WIDTH * sr / hop_length)
+    freqs = fft_frequencies(sr, n_fft)
+    height = 0
+    for i, f in enumerate(freqs):
+        if f > 100:
+            height = i + 1
+            break
+    min_width = 0.65 * width
+    min_height = height - height // 10
+    stats = [s for s in stats if s[2] > min_width and s[3] > min_height]
+
+    signals = []
+    for s in stats:
+        max_freq = min(len(freqs) - 1, s[1] + s[3])
+        freq_range = (freqs[s[1]], freqs[max_freq])
+        start = s[0] * hop_length / sr
+        end = (s[0] + s[2]) * hop_length / sr
+        signals.append(Signal(start, end, freq_range[0], freq_range[1]))
+    return signals
+
+
+@partial(jax.jit, static_argnames=("sr", "hop_length"))
+def _chunk_flatness_program(frames, *, sr, hop_length):
+    """Device program for get_end: per-chunk (max, min) of the 120-mel
+    power-1 spectrogram (reference: src/identify_tracks.py:387-413)."""
+    n_fft = sr // 10
+    spec = stft_magnitude(frames, n_fft, hop_length)
+    mel = mel_spec(spec, sr, n_fft, 120, 50, 11000, 1750, power=1)
+    chunk = sr // hop_length
+    n_frames_total = mel.shape[1]
+    n_chunks = max(n_frames_total // chunk, 1)
+    usable = mel[:, : n_chunks * chunk].reshape(mel.shape[0], n_chunks, chunk)
+    return jnp.max(usable, axis=(0, 2)), jnp.min(usable, axis=(0, 2))
+
+
+def get_end(frames, sr, n_valid_samples=None, hop_length=281):
+    """Scan ~1 s mel chunks until a flat (max==min) chunk marks end of data;
+    returns seconds (int via floor-div like the reference, or the float file
+    length when no flat chunk is found)."""
+    frames = jnp.asarray(frames, dtype=jnp.float32)
+    if n_valid_samples is None:
+        n_valid_samples = frames.shape[0]
+    mx, mn = _chunk_flatness_program(frames, sr=sr, hop_length=hop_length)
+    mx, mn = np.asarray(mx), np.asarray(mn)
+
+    chunk = sr // hop_length
+    n_frames_valid = num_frames(int(n_valid_samples), hop_length, sr // 10)
+    file_length = n_valid_samples / sr
+    start = 0
+    k = 0
+    # reference loop: while end < mel.shape[1], i.e. chunk fully inside
+    while (k + 1) * chunk < n_frames_valid and k < len(mx):
+        if mx[k] == mn[k]:
+            return start * hop_length // sr
+        k += 1
+        start = k * chunk
+    return file_length

@@ -1,0 +1,340 @@
+"""Execute imported Keras functional graphs as pure JAX functions.
+
+``KerasModel.load(path)`` parses a ``.keras`` archive (io.keras_import) and
+builds a jit-compatible ``apply(params, x)``: a topological walk over the
+functional graph where each layer maps to the functional ops in
+models.layers. This replaces the reference's TF-runtime ``model.predict``
+(src/identify_tracks.py:543-545) with a single XLA program that fuses into
+the batched window-grid pipeline.
+
+Covered layer set: everything the Cacophony classifier family and
+keras.applications EfficientNet need (Conv/DepthwiseConv/SeparableConv,
+BatchNorm, Dense, poolings, activations, merges, shape ops, Rescaling,
+Normalization, Dropout, MagTransform v1/v2).
+"""
+
+import logging
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_analysis_tpu.models import layers as L
+from audio_analysis_tpu.models.magtransform import mag_transform
+from audio_analysis_tpu.io.keras_import import read_keras_archive
+
+
+def _to_snake_case(name: str) -> str:
+    """Keras's to_snake_case (keras/src/utils/naming.py semantics)."""
+    name = re.sub(r"\W+", "", name)
+    name = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", name)
+    name = re.sub(r"([a-z])([A-Z])", r"\1_\2", name).lower()
+    return name
+
+
+def _layer_name(layer: dict) -> str:
+    # Functional configs carry a top-level "name"; Sequential ones only have
+    # it inside config.
+    return layer.get("name") or layer["config"].get("name")
+
+
+def _pair(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(int(x) for x in v)
+    return (int(v), int(v))
+
+
+def _norm_pad2d(p):
+    """Keras ZeroPadding2D/Cropping2D padding normalisation."""
+    if isinstance(p, int):
+        return ((p, p), (p, p))
+    a, b = p
+    if isinstance(a, int):
+        return ((a, a), (b, b))
+    return (tuple(a), tuple(b))
+
+
+class KerasModel:
+    """An imported Keras model: ``model(x)`` or ``model.apply(params, x)``."""
+
+    def __init__(self, config, weights, name_prefix=""):
+        self.config = config
+        cfg = config["config"] if "config" in config else config
+        self.name = cfg.get("name", "model")
+        self._layers = cfg["layers"]
+        self._by_name = {_layer_name(l): l for l in self._layers}
+        self._prefix = name_prefix
+        # The weights.h5 keys are NOT the config layer names: Keras
+        # regenerates them at save time as snake_case(class_name) with a
+        # fresh per-model, per-base counter (explicit layer names are
+        # ignored; verified empirically against TF 2.21 archives).
+        counts = {}
+        self._h5key = {}
+        for l in self._layers:
+            base = _to_snake_case(l["class_name"])
+            n = counts.get(base, 0)
+            counts[base] = n + 1
+            self._h5key[_layer_name(l)] = base if n == 0 else f"{base}_{n}"
+        self.params = {k: [jnp.asarray(a) for a in v] for k, v in weights.items()}
+        self._class = config.get("class_name", "Functional")
+        if self._class == "Sequential":
+            self._output_spec = None
+            self._input_names = None
+        else:
+            # Keras stores a single input/output as one flat [name, node,
+            # tensor] triple, multiple as a list of triples.
+            def norm(spec):
+                if spec and isinstance(spec[0], str):
+                    return [spec]
+                return spec
+
+            self._output_spec = norm(cfg["output_layers"])
+            self._input_names = [i[0] for i in norm(cfg["input_layers"])]
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def load(cls, path) -> "KerasModel":
+        config, weights = read_keras_archive(path)
+        return cls(config, weights)
+
+    # -- execution ----------------------------------------------------------
+
+    def __call__(self, x):
+        return self.apply(self.params, x)
+
+    def apply(self, params, x):
+        """Run the graph. `x` is one input array (or list for multi-input)."""
+        if self._class == "Sequential":
+            y = x
+            for layer in self._layers:
+                if layer["class_name"] == "InputLayer":
+                    continue
+                y = self._run_layer(layer, [y], params)
+            return y
+
+        inputs = x if isinstance(x, (list, tuple)) else [x]
+        values = {}  # (layer_name, node_idx, tensor_idx) -> array
+        for name, inp in zip(self._input_names, inputs):
+            values[(name, 0, 0)] = inp
+
+        remaining = [l for l in self._layers if l["class_name"] != "InputLayer"]
+        progress = True
+        while remaining and progress:
+            progress = False
+            still = []
+            for layer in remaining:
+                done_all = True
+                for node_idx, node in enumerate(layer.get("inbound_nodes", [])):
+                    refs = _collect_history(node)
+                    if not all(r in values for r in refs):
+                        done_all = False
+                        break
+                if not done_all:
+                    still.append(layer)
+                    continue
+                for node_idx, node in enumerate(layer.get("inbound_nodes", [])):
+                    args = _resolve_args(node, values)
+                    out = self._run_layer(layer, args, params)
+                    if isinstance(out, (list, tuple)):
+                        for ti, o in enumerate(out):
+                            values[(layer["name"], node_idx, ti)] = o
+                    else:
+                        values[(layer["name"], node_idx, 0)] = out
+                progress = True
+            remaining = still
+        if remaining:
+            raise ValueError(
+                f"could not resolve layers: {[l['name'] for l in remaining]}"
+            )
+
+        outs = [
+            values[(name, node_idx, tensor_idx)]
+            for name, node_idx, tensor_idx in self._output_spec
+        ]
+        return outs[0] if len(outs) == 1 else outs
+
+    # -- per-layer dispatch --------------------------------------------------
+
+    def _vars(self, params, layer_name):
+        key = self._prefix + self._h5key[layer_name]
+        return params.get(key, [])
+
+    def _run_layer(self, layer, args, params):
+        cls = layer["class_name"]
+        cfg = layer["config"]
+        name = _layer_name(layer)
+        v = self._vars(params, name)
+        x = args[0]
+
+        if cls in ("Dropout", "SpatialDropout2D", "GaussianNoise", "GaussianDropout", "Identity", "ActivityRegularization"):
+            return x
+        if "MagTransform" in cls or "MagTransform" in (layer.get("registered_name") or ""):
+            return mag_transform(x, v[0])
+        if cls == "Conv2D":
+            act = L.activation(cfg.get("activation"))
+            bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
+            return act(
+                L.conv2d(
+                    x,
+                    v[0],
+                    bias,
+                    strides=_pair(cfg.get("strides", 1)),
+                    padding=cfg.get("padding", "valid"),
+                    dilation=_pair(cfg.get("dilation_rate", 1)),
+                    groups=int(cfg.get("groups", 1)),
+                )
+            )
+        if cls == "DepthwiseConv2D":
+            act = L.activation(cfg.get("activation"))
+            bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
+            return act(
+                L.depthwise_conv2d(
+                    x,
+                    v[0],
+                    bias,
+                    strides=_pair(cfg.get("strides", 1)),
+                    padding=cfg.get("padding", "valid"),
+                    dilation=_pair(cfg.get("dilation_rate", 1)),
+                )
+            )
+        if cls == "SeparableConv2D":
+            act = L.activation(cfg.get("activation"))
+            bias = v[2] if cfg.get("use_bias", True) and len(v) > 2 else None
+            y = L.depthwise_conv2d(
+                x,
+                v[0],
+                None,
+                strides=_pair(cfg.get("strides", 1)),
+                padding=cfg.get("padding", "valid"),
+                dilation=_pair(cfg.get("dilation_rate", 1)),
+            )
+            return act(L.conv2d(y, v[1], bias, strides=(1, 1), padding="VALID"))
+        if cls == "Dense":
+            act = L.activation(cfg.get("activation"))
+            bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
+            return act(L.dense(x, v[0], bias))
+        if cls == "BatchNormalization":
+            scale = cfg.get("scale", True)
+            center = cfg.get("center", True)
+            i = 0
+            gamma = v[i] if scale else None
+            i += 1 if scale else 0
+            beta = v[i] if center else None
+            i += 1 if center else 0
+            mean, var = v[i], v[i + 1]
+            return L.batch_norm(
+                x, mean, var, gamma, beta, eps=cfg.get("epsilon", 1e-3), axis=cfg.get("axis", -1) if not isinstance(cfg.get("axis"), list) else cfg["axis"][0]
+            )
+        if cls == "Activation":
+            return L.activation(cfg.get("activation"))(x)
+        if cls == "ReLU":
+            y = jnp.where(x < 0, cfg.get("negative_slope", 0.0) * x, x)
+            mx = cfg.get("max_value")
+            if mx is not None:
+                y = jnp.minimum(y, mx)
+            thr = cfg.get("threshold", 0.0)
+            if thr:
+                y = jnp.where(x < thr, 0.0, y)
+            return y
+        if cls == "LeakyReLU":
+            return jax.nn.leaky_relu(x, cfg.get("negative_slope", cfg.get("alpha", 0.3)))
+        if cls == "Softmax":
+            return jax.nn.softmax(x, axis=cfg.get("axis", -1))
+        if cls == "MaxPooling2D":
+            return L.max_pool2d(x, _pair(cfg.get("pool_size", 2)), _pair(cfg.get("strides") or cfg.get("pool_size", 2)), cfg.get("padding", "valid"))
+        if cls == "AveragePooling2D":
+            return L.avg_pool2d(x, _pair(cfg.get("pool_size", 2)), _pair(cfg.get("strides") or cfg.get("pool_size", 2)), cfg.get("padding", "valid"))
+        if cls == "GlobalAveragePooling2D":
+            return L.global_avg_pool2d(x, cfg.get("keepdims", False))
+        if cls == "GlobalMaxPooling2D":
+            return L.global_max_pool2d(x, cfg.get("keepdims", False))
+        if cls == "Flatten":
+            return x.reshape(x.shape[0], -1)
+        if cls == "Reshape":
+            return x.reshape((x.shape[0],) + tuple(cfg["target_shape"]))
+        if cls == "Permute":
+            dims = cfg["dims"]
+            return jnp.transpose(x, (0,) + tuple(dims))
+        if cls == "ZeroPadding2D":
+            return L.zero_padding2d(x, _norm_pad2d(cfg.get("padding", 1)))
+        if cls == "Cropping2D":
+            return L.cropping2d(x, _norm_pad2d(cfg.get("cropping", 0)))
+        if cls == "UpSampling2D":
+            return L.up_sampling2d(x, _pair(cfg.get("size", 2)), cfg.get("interpolation", "nearest"))
+        if cls == "Rescaling":
+            return x * cfg.get("scale", 1.0) + cfg.get("offset", 0.0)
+        if cls == "Normalization":
+            mean, var = v[0], v[1]
+            return (x - mean) / jnp.sqrt(var)
+        if cls == "Add":
+            return sum(args[0]) if isinstance(args[0], list) else sum(args)
+        if cls == "Subtract":
+            a = args[0] if isinstance(args[0], list) else args
+            return a[0] - a[1]
+        if cls == "Multiply":
+            a = args[0] if isinstance(args[0], list) else args
+            y = a[0]
+            for o in a[1:]:
+                y = y * o
+            return y
+        if cls == "Average":
+            a = args[0] if isinstance(args[0], list) else args
+            return sum(a) / len(a)
+        if cls == "Maximum":
+            a = args[0] if isinstance(args[0], list) else args
+            y = a[0]
+            for o in a[1:]:
+                y = jnp.maximum(y, o)
+            return y
+        if cls == "Concatenate":
+            a = args[0] if isinstance(args[0], list) else args
+            return jnp.concatenate(a, axis=cfg.get("axis", -1))
+        if cls in ("Functional", "Sequential"):
+            sub = KerasModel(
+                layer, {}, name_prefix=self._prefix + self._h5key[name] + "/layers/"
+            )
+            return sub.apply(params, x if len(args) == 1 else args)
+        raise ValueError(f"unsupported Keras layer {cls} ({name})")
+
+
+# ---------------------------------------------------------------------------
+# inbound-node resolution
+# ---------------------------------------------------------------------------
+
+
+def _collect_history(node):
+    refs = []
+
+    def rec(obj):
+        if isinstance(obj, dict):
+            if obj.get("class_name") == "__keras_tensor__":
+                h = obj["config"]["keras_history"]
+                refs.append((h[0], h[1], h[2]))
+            else:
+                for vv in obj.values():
+                    rec(vv)
+        elif isinstance(obj, (list, tuple)):
+            for vv in obj:
+                rec(vv)
+
+    rec(node.get("args", []))
+    rec(node.get("kwargs", {}))
+    return refs
+
+
+def _resolve_args(node, values):
+    def rec(obj):
+        if isinstance(obj, dict):
+            if obj.get("class_name") == "__keras_tensor__":
+                h = obj["config"]["keras_history"]
+                return values[(h[0], h[1], h[2])]
+            return {k: rec(vv) for k, vv in obj.items()}
+        if isinstance(obj, list):
+            return [rec(vv) for vv in obj]
+        if isinstance(obj, tuple):
+            return tuple(rec(vv) for vv in obj)
+        return obj
+
+    return [rec(a) for a in node.get("args", [])]

@@ -1,0 +1,56 @@
+"""Classifier loading: route a model path to the right backend.
+
+The reference loads every model through tf.keras
+(src/identify_tracks.py:302-327); here a model path may be:
+
+- a ``.keras`` archive (or a dir containing one): imported TF-free into the
+  KerasModel executor;
+- a native checkpoint dir (metadata.txt with ``"architecture": "tuinet"`` +
+  weights.npz): the framework's own trained models.
+
+Every returned model is a jit'd callable ``model(x) -> probs`` over a
+[n_windows, ...] feature grid.
+"""
+
+from pathlib import Path
+
+import jax
+
+from audio_analysis_tpu.io.modelconfig import ModelConfig
+
+
+class _JittedModel:
+    def __init__(self, apply_fn, params):
+        self._fn = jax.jit(apply_fn)
+        self._params = params
+
+    def __call__(self, x):
+        return self._fn(self._params, x)
+
+
+def load_classifier(model_path, cfg: ModelConfig):
+    model_path = Path(model_path)
+    arch = (cfg.raw or {}).get("architecture")
+
+    if arch == "tuinet" or (model_path.is_dir() and (model_path / "weights.npz").exists()):
+        from audio_analysis_tpu.models.birdnet import TuiNet, TuiNetConfig, apply as tuinet_apply
+        from audio_analysis_tpu.io.checkpoint import load_checkpoint_params
+
+        params = load_checkpoint_params(model_path)
+        net_cfg = TuiNetConfig(
+            num_classes=len(cfg.labels) or int((cfg.raw or {}).get("num_classes", 8)),
+            n_mels=int(cfg.n_mels),
+            channels=tuple((cfg.raw or {}).get("net_channels", (64, 128, 256))),
+        )
+        import jax.nn
+
+        def apply_probs(p, x):
+            return jax.nn.softmax(tuinet_apply(p, x, net_cfg), axis=-1)
+
+        return _JittedModel(apply_probs, params)
+
+    # Keras archive (file or dir containing one)
+    from audio_analysis_tpu.models.keras_graph import KerasModel
+
+    km = KerasModel.load(model_path)
+    return _JittedModel(km.apply, km.params)

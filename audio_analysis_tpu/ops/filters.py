@@ -133,7 +133,7 @@ def _sos_section_scan(x: jnp.ndarray, coefs) -> jnp.ndarray:
     i.e. s[n+1] = A @ s[n] + g * x[n] — an affine map composed with
     ``jax.lax.associative_scan`` in O(log N) depth.
     """
-    b0, b1, b2, a1, a2 = (jnp.float32(c) for c in coefs)
+    b0, b1, b2, a1, a2 = (jnp.asarray(c, dtype=jnp.float32) for c in coefs)
     g1 = b1 - a1 * b0
     g2 = b2 - a2 * b0
 
@@ -177,6 +177,23 @@ def sosfilt(sos, x: jnp.ndarray) -> jnp.ndarray:
     y = x
     for section in sos:
         y = _sos_section_scan(y, section)
+    return y
+
+
+def sosfilt_array(sos: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """sosfilt with traced coefficients: ``sos`` is [n_sections, 5] or
+    [B, n_sections, 5] (per-example filters, e.g. per-track band-passes over
+    a padded track stack). Coefficient layout (b0, b1, b2, a1, a2)."""
+    sos = jnp.asarray(sos, dtype=jnp.float32)
+    n_sections = sos.shape[-2]
+    y = x
+    for i in range(n_sections):
+        c = sos[..., i, :]
+        if c.ndim > 1:
+            coefs = tuple(c[..., k][..., None] for k in range(5))
+        else:
+            coefs = tuple(c[k] for k in range(5))
+        y = _sos_section_scan(y, coefs)
     return y
 
 

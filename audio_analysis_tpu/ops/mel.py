@@ -77,6 +77,51 @@ def mel_filterbank(
     return jnp.asarray(_mel_filterbank_np(float(sr), int(n_mels), float(fmin), float(fmax), int(n_fft), float(break_freq)))
 
 
+def _hz_to_mel_slaney(f):
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(f >= min_log_hz, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, f / f_sp)
+
+
+def _mel_to_hz_slaney(m):
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), f_sp * m)
+
+
+@lru_cache(maxsize=32)
+def _mel_filterbank_slaney_np(sr, n_mels, fmin, fmax, n_fft):
+    """librosa's default (htk=False) Slaney-scale filterbank with slaney
+    norm — the reference's htk=False path goes through
+    librosa.feature.melspectrogram (src/identify_tracks.py:229-238)."""
+    weights = np.zeros((n_mels, 1 + n_fft // 2), dtype=np.float32)
+    fftfreqs = fft_frequencies(sr, n_fft)
+    mel_f = _mel_to_hz_slaney(
+        np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2)
+    )
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+    for i in range(n_mels):
+        lower = -ramps[i] / fdiff[i]
+        upper = ramps[i + 2] / fdiff[i + 1]
+        weights[i] = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+    weights *= enorm[:, None].astype(np.float32)
+    return weights
+
+
+def mel_filterbank_slaney(sr, n_mels, fmin, fmax, n_fft) -> jnp.ndarray:
+    return jnp.asarray(
+        _mel_filterbank_slaney_np(float(sr), int(n_mels), float(fmin), float(fmax), int(n_fft))
+    )
+
+
 def mel_spec(
     stft_mag: jnp.ndarray,
     sr: float,

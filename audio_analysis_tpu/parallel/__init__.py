@@ -1,0 +1,5 @@
+"""Scale-out: device mesh, shardings, batch serving, training."""
+
+from audio_analysis_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+
+__all__ = ["make_mesh", "data_sharding", "replicated"]

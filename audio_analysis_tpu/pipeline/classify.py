@@ -1,0 +1,248 @@
+"""Recording classification: the reference's ``classify``
+(src/identify_tracks.py:416-573) as a host orchestrator around three device
+programs — end-scan, signal detection, and one fused
+window-grid -> frontend -> CNN -> per-track-mean program per model group.
+
+The reference recomputes a librosa STFT per 3-second window and calls
+``model.predict`` per track; here every window of every track is gathered
+into one [n_windows, sample_size] grid and the whole thing (frontend +
+forward + ensemble/window means) runs as a handful of XLA programs with two
+small host round-trips (end scan, detection mask).
+"""
+
+import logging
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_analysis_tpu.io.audio import load_recording
+from audio_analysis_tpu.io.modelconfig import ModelConfig, NON_BIRD
+from audio_analysis_tpu.detect.signal import Signal, ModelResult, Prediction, MAX_FREQUENCY
+from audio_analysis_tpu.detect.signal_noise import signal_noise, get_end
+from audio_analysis_tpu.detect.signal import get_tracks_from_signals
+from audio_analysis_tpu.pipeline.samples import (
+    plan_windows,
+    gather_windows,
+    pad_plan_to_bucket,
+)
+from audio_analysis_tpu.pipeline.frontend import spectrogram_grid
+from audio_analysis_tpu.ops.filters import butter_bandpass_sos, sosfilt_array
+from audio_analysis_tpu.models.registry import load_classifier
+
+
+def _bucket(n, quantum=64):
+    """Round a window count up to a compile bucket."""
+    return max(quantum, -(-n // quantum) * quantum)
+
+
+def _apply_track_filters(frames, plan, sr):
+    """Band-pass filter the frames of tracks that request it
+    (reference: src/identify_tracks.py:152-161), returning one filtered copy
+    per filtered track stacked [n_filtered, max_len]."""
+    if not plan.filter_specs:
+        return None
+    segs = []
+    sos_list = []
+    max_len = max(
+        plan.track_bounds[ti][1] - plan.track_bounds[ti][0]
+        for ti, _, _ in plan.filter_specs
+    )
+    for ti, low, high in plan.filter_specs:
+        g0, g1 = plan.track_bounds[ti]
+        seg = jnp.zeros(max_len, dtype=jnp.float32)
+        seg = seg.at[: g1 - g0].set(jax.lax.dynamic_slice(frames, (g0,), (g1 - g0,)))
+        segs.append(seg)
+        sos_list.append(butter_bandpass_sos(float(low), float(high), float(sr)))
+    n_sections = max(len(s) for s in sos_list)
+    sos_arr = np.zeros((len(sos_list), n_sections, 5), np.float32)
+    sos_arr[:, :, 0] = 1.0  # identity sections for padding
+    for i, s in enumerate(sos_list):
+        sos_arr[i, : len(s)] = np.asarray(s, np.float32)
+    stack = jnp.stack(segs)
+    return sosfilt_array(jnp.asarray(sos_arr), stack)
+
+
+def build_window_grid(frames, sr, tracks, cfg: ModelConfig, rng=np.random):
+    """Plan + gather the window grid for a model config. Returns
+    (grid [N, sample], plan)."""
+    plan = plan_windows(
+        int(frames.shape[-1]),
+        sr,
+        tracks,
+        cfg.segment_length,
+        cfg.segment_stride,
+        fmin=cfg.fmin,
+        fmax=cfg.fmax,
+        filter_freqs=cfg.filter_freq,
+        filter_below=cfg.filter_below,
+        pad_short_tracks=cfg.pad_short_tracks,
+        rng=rng,
+    )
+    if len(plan.base) == 0:
+        return jnp.zeros((0, plan.sample_size), jnp.float32), plan
+    plan = pad_plan_to_bucket(plan)
+    grid = gather_windows(frames, plan)
+    filtered = _apply_track_filters(frames, plan, sr)
+    if filtered is not None:
+        # overwrite rows of filtered tracks with windows gathered from the
+        # filtered segment (local coordinates)
+        for row, (ti, _, _) in enumerate(plan.filter_specs):
+            g0, _ = plan.track_bounds[ti]
+            sel = np.nonzero(plan.track_index == ti)[0]
+            j = jnp.arange(plan.sample_size)[None, :]
+            base_local = jnp.asarray(plan.base[sel])[:, None] - g0
+            idx = jnp.clip(base_local + j, 0, filtered.shape[-1] - 1)
+            win = filtered[row][idx]
+            valid = (j >= jnp.asarray(plan.valid_lo[sel])[:, None]) & (
+                j < jnp.asarray(plan.valid_hi[sel])[:, None]
+            )
+            grid = grid.at[jnp.asarray(sel)].set(jnp.where(valid, win, 0.0))
+    return grid, plan
+
+
+def features_for_config(grid, sr, cfg: ModelConfig):
+    """Frontend over the grid (reference get_spect semantics)."""
+    return spectrogram_grid(
+        grid,
+        sr=int(sr),
+        hop_length=int(cfg.hop_length),
+        n_fft=int(cfg.n_fft),
+        n_mels=int(cfg.n_mels),
+        mel_break=float(cfg.break_freq),
+        htk=bool(cfg.htk),
+        fmin=cfg.fmin,
+        fmax=cfg.fmax,
+        power=float(cfg.power),
+        db_scale=bool(cfg.db_scale),
+        normalize=bool(cfg.normalize),
+        mean_sub=bool(cfg.mean_sub),
+        use_mfcc=bool(cfg.use_mfcc),
+        channels=int(cfg.channels),
+    )
+
+
+def _track_means(per_window_probs, track_index, n_tracks):
+    """Mean over each track's windows on device
+    (reference: np.mean(predictions, axis=0) per track, :551)."""
+    seg = jnp.asarray(track_index, jnp.int32)
+    sums = jax.ops.segment_sum(per_window_probs, seg, num_segments=n_tracks + 1)
+    counts = jax.ops.segment_sum(
+        jnp.ones((per_window_probs.shape[0],), jnp.float32), seg, num_segments=n_tracks + 1
+    )
+    return sums[:n_tracks] / jnp.maximum(counts[:n_tracks], 1.0)[:, None]
+
+
+def classify(file, models, analyse_tracks, meta_data=None, rng=np.random):
+    """Reference-compatible entry: returns
+    (tracks, length, signals, raw_length, bird_labels)."""
+    frames, sr = load_recording(file)
+    return classify_frames(frames, sr, models, analyse_tracks, meta_data, rng=rng)
+
+
+def classify_frames(frames, sr, models, analyse_tracks, meta_data=None, rng=np.random):
+    raw_length = len(frames) / sr
+    frames_dev = jnp.asarray(frames, dtype=jnp.float32)
+    length = get_end(frames_dev, sr)
+    signals = signal_noise(frames_dev, sr, 281, n_valid_samples=int(sr * length))
+
+    if analyse_tracks:
+        if meta_data is None:
+            return None
+        tracks = []
+        for t in meta_data["Tracks"]:
+            signal = Signal(
+                t["start"], t["end"], t.get("minFreq", 0), t.get("maxFreq", MAX_FREQUENCY)
+            )
+            signal.track_id = t["id"]
+            tracks.append(signal)
+    else:
+        tracks = [s.copy() for s in signals]
+        tracks = get_tracks_from_signals(tracks, length)
+    if len(tracks) == 0:
+        return [], length, [], raw_length, []
+
+    # group models: pre-filter models run after the main ensemble group
+    # (reference :444-455)
+    pre_models, mean_models = [], []
+    for model_file in models:
+        cfg = ModelConfig.load(Path(model_file))
+        if cfg.pre_model:
+            pre_models.append((model_file, cfg))
+        else:
+            mean_models.append((model_file, cfg))
+    grouped_models = [mean_models]
+    if pre_models:
+        grouped_models.append(pre_models)
+
+    track_data = None  # (grid, plan) shared across groups like the reference
+    bird_labels = set()
+
+    for model_group in grouped_models:
+        if not model_group:
+            continue
+        if len(model_group) > 1:
+            logging.info("Meaning predictions as have multiple models")
+        predict_models = [
+            (load_classifier(Path(mf), cfg), cfg) for mf, cfg in model_group
+        ]
+        cfg = predict_models[0][1]
+        bird_labels.update(cfg.bird_labels)
+
+        if cfg.name == "embeddings":
+            from audio_analysis_tpu.pipeline.embeddings import chirp_embeddings
+
+            data = chirp_embeddings(frames, sr, tracks, cfg.segment_stride)
+            raise NotImplementedError(
+                "embeddings models require a hub classifier head; "
+                "see pipeline/embeddings.py"
+            )
+
+        if track_data is None:
+            track_data = build_window_grid(frames_dev, sr, tracks, cfg, rng=rng)
+        else:
+            logging.info(
+                "Re using track data this will cuase problems if the STFT "
+                "settings are not the same for multiple models"
+            )
+        grid, plan = track_data
+        if plan.n_tracks == 0 or len(plan.base) == 0:
+            return [], length, [], raw_length, []
+
+        feats = features_for_config(grid, sr, cfg)
+
+        all_probs = []
+        for model, mcfg in predict_models:
+            x = feats
+            if mcfg.is_efficientnet:
+                x = jnp.repeat(x, 3, axis=-1)  # reference :539-540
+            probs = model(x)
+            all_probs.append(probs)
+        probs = sum(all_probs) / len(all_probs)
+        track_probs = np.asarray(
+            _track_means(probs, plan.track_index, plan.n_tracks)
+        )
+
+        labels = cfg.labels
+        ebird_ids = cfg.ebird_ids
+        prob_thresh = cfg.threshold
+        windows_per_track = np.bincount(plan.track_index, minlength=plan.n_tracks)
+        for ti, t in enumerate(tracks):
+            if windows_per_track[ti] == 0:
+                continue  # skipped/out-of-band track (reference :537-538)
+            prediction = track_probs[ti]
+            max_p = None
+            result = ModelResult(cfg.name, cfg.pre_model)
+            t.results.append(result)
+            for i, p in enumerate(prediction):
+                if max_p is None or p > max_p[1]:
+                    max_p = (i, p)
+                if p >= prob_thresh:
+                    ebird_id = ebird_ids[i] if ebird_ids is not None else None
+                    result.add_prediction(labels[i], p, ebird_id, prob_thresh)
+            if len(result.predictions) == 0:
+                ebird_id = ebird_ids[max_p[0]] if ebird_ids is not None else None
+                result.raw_prediction = Prediction(labels[max_p[0]], max_p[1], ebird_id)
+
+    return tracks, length, signals, raw_length, list(bird_labels)

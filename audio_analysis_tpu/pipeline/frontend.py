@@ -1,0 +1,119 @@
+"""Batched spectrogram frontend: the reference's per-window ``get_spect``
+(src/identify_tracks.py:212-288) as one fused device program over the whole
+window grid. Normalise -> STFT -> mel matmul -> dB -> mean-sub -> channels,
+all static-shape; XLA fuses the epilogues into the FFT/matmul.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from audio_analysis_tpu.ops.stft import stft_magnitude
+from audio_analysis_tpu.ops.mel import mel_filterbank, mel_filterbank_slaney
+from audio_analysis_tpu.ops.scale import power_to_db, normalize_minmax
+from audio_analysis_tpu.ops.dct import dct2
+from audio_analysis_tpu.models.layers import resize_with_pad
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sr",
+        "hop_length",
+        "n_fft",
+        "n_mels",
+        "mel_break",
+        "htk",
+        "fmin",
+        "fmax",
+        "power",
+        "db_scale",
+        "normalize",
+        "mean_sub",
+        "use_mfcc",
+        "channels",
+    ),
+)
+def spectrogram_grid(
+    windows: jnp.ndarray,
+    *,
+    sr: int,
+    hop_length: int = 281,
+    n_fft: int = 4096,
+    n_mels: int = 160,
+    mel_break: float = 1000.0,
+    htk: bool = True,
+    fmin: float = 50.0,
+    fmax: float = 11000.0,
+    power: float = 2.0,
+    db_scale: bool = False,
+    normalize: bool = True,
+    mean_sub: bool = False,
+    use_mfcc: bool = False,
+    channels: int = 1,
+) -> jnp.ndarray:
+    """[N, sample_size] PCM windows -> [N, n_mels, frames, channels] features.
+
+    Faithful to get_spect, including the fmax-keyed-on-fmin quirk
+    (src/identify_tracks.py:260-261) and per-window power_to_db(ref=max).
+    """
+    if normalize:
+        windows = normalize_minmax(windows)
+
+    if htk:
+        mag = stft_magnitude(windows, n_fft, hop_length)  # [N, bins, T]
+        f_lo = 50.0 if fmin is None else fmin
+        f_hi = 11000.0 if fmin is None else fmax  # quirk: keyed on fmin
+        fb = mel_filterbank(sr, n_mels, f_lo, f_hi, n_fft, mel_break)
+        p = mag if power == 1 else (mag * mag if power == 2 else mag**power)
+        mel = jnp.einsum("mf,nft->nmt", fb, p, preferred_element_type=jnp.float32)
+    else:
+        # librosa.feature.melspectrogram defaults: Slaney scale/norm, power 2
+        mag = stft_magnitude(windows, n_fft, hop_length)
+        fb = mel_filterbank_slaney(sr, n_mels, 50.0, 11000.0, n_fft)
+        mel = jnp.einsum(
+            "mf,nft->nmt", fb, mag * mag, preferred_element_type=jnp.float32
+        )
+
+    if db_scale:
+        mel = power_to_db(mel, ref_axes=(-2, -1))
+
+    mel = mel[..., None]  # channel dim
+
+    if use_mfcc:
+        # Reference concatenates a resized MFCC under the mel
+        # (src/identify_tracks.py:269-280). NOTE: the reference's own call
+        # passes a 2-D array into tf.image.resize_with_pad and would fail at
+        # runtime; no released model sets use_mfcc. We implement the evident
+        # intent (MFCC resized to the mel's [n_mels, T] then stacked).
+        mfcc = _mfcc(windows, sr, hop_length)
+        mfcc = resize_with_pad(mfcc[..., None], mel.shape[-3], mel.shape[-2])
+        mel = jnp.concatenate((mel, mfcc), axis=-3)
+
+    if mean_sub:
+        mel_m = jnp.mean(mel, axis=-2, keepdims=True)
+        mel = mel - mel_m
+
+    if channels > 1:
+        mel = jnp.repeat(mel, channels, axis=-1)
+    return mel
+
+
+def _mfcc(windows, sr, hop_length, n_mfcc=20, n_mels=80):
+    """librosa.feature.mfcc(htk=True, fmin=50, fmax=11000, n_mels=80):
+    mel power spec (n_fft 2048 default) -> power_to_db(ref=1) -> ortho DCT-II
+    over the mel axis, first 20 coefficients."""
+    mag = stft_magnitude(windows, 2048, hop_length)
+    fb = mel_filterbank(sr, n_mels, 50.0, 11000.0, 2048, 700.0)
+    mel = jnp.einsum("mf,nft->nmt", fb, mag * mag, preferred_element_type=jnp.float32)
+    # power_to_db with ref=1.0 (librosa mfcc default), top_db=80 per example
+    log_spec = 10.0 * jnp.log10(jnp.maximum(1e-10, mel))
+    peak = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+    log_spec = jnp.maximum(log_spec, peak - 80.0)
+    # ortho DCT-II along the mel axis
+    d = dct2(jnp.swapaxes(log_spec, -1, -2))  # [..., t, n_mels]
+    n = d.shape[-1]
+    scale = jnp.ones(n).at[0].set(1.0 / jnp.sqrt(2.0)) * jnp.sqrt(1.0 / (2.0 * n))
+    d = d * scale
+    return jnp.swapaxes(d, -1, -2)[..., :n_mfcc, :]

@@ -1,0 +1,58 @@
+"""Runtime setup: persistent XLA compilation cache and stage timing.
+
+TPU compiles of the big FFT/detection programs take seconds-to-minutes on a
+cold process (measured: 6-25 s per program over the axon tunnel); the CLI is
+a fresh process per recording, so a persistent on-disk compilation cache is
+load-bearing for serving latency. Controlled by AAT_COMPILATION_CACHE
+(default on; set to 0/off to disable) and AAT_CACHE_DIR.
+"""
+
+import logging
+import os
+import time
+from contextlib import contextmanager
+from pathlib import Path
+
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache():
+    """Idempotently point JAX at a persistent compilation cache dir."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    flag = os.environ.get("AAT_COMPILATION_CACHE", "1").lower()
+    if flag in ("0", "off", "false"):
+        return
+    cache_dir = os.environ.get(
+        "AAT_CACHE_DIR", str(Path.home() / ".cache" / "audio_analysis_tpu" / "xla")
+    )
+    try:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _CACHE_ENABLED = True
+    except Exception:  # cache is an optimisation, never fatal
+        logging.debug("could not enable persistent compilation cache", exc_info=True)
+
+
+class StageTimer:
+    """Per-stage wall-clock timing (decode/frontend/detect/infer/post),
+    surfaced alongside the reference's processing_time_seconds."""
+
+    def __init__(self):
+        self.stages = {}
+
+    @contextmanager
+    def stage(self, name):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.stages[name] = self.stages.get(name, 0.0) + time.perf_counter() - t0
+
+    def as_dict(self, decimals=3):
+        return {k: round(v, decimals) for k, v in self.stages.items()}

@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Benchmark: full-pipeline audio throughput on one chip.
+
+Measures the end-to-end analysis path on a synthetic 60 s recording —
+end-scan, signal detection (STFT + morphology on device, CCL on host), track
+merging, window grid, spectrogram frontend, two-model ensemble forward,
+per-track means, master tags, chirps, cacophony index — i.e. everything
+between PCM-in and result-JSON-out (decode excluded; there is no ffmpeg in
+this image and decode is not a TPU workload).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio-s/s/chip", "vs_baseline": N}
+
+vs_baseline compares against the measured CPU reference-equivalent pipeline
+(numpy+cv2+TF on this host, same model architecture; see BASELINE.md and
+tools/measure_cpu_baseline.py).
+"""
+
+import json
+import time
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# measured by tools/measure_cpu_baseline.py (see BASELINE.md)
+DEFAULT_CPU_BASELINE = None  # audio-s/s; None -> read BASELINE_CPU.json
+
+
+def build_fixture_models(tmp: Path):
+    """Two native TuiNet checkpoints (main + pre model), reference metadata
+    schema, no TF needed."""
+    import jax
+    from audio_analysis_tpu.models.birdnet import TuiNetConfig, init_params
+    from audio_analysis_tpu.io.checkpoint import save_checkpoint
+
+    labels_main = ["bird", "kiwi", "morepork", "whistler", "noise", "human", "insect", "other"]
+    labels_pre = ["bird", "human", "noise"]
+    specs = [
+        ("bird-model", labels_main, False),
+        ("pre-model", labels_pre, True),
+    ]
+    dirs = []
+    for name, labels, pre in specs:
+        d = tmp / name
+        if not (d / "weights.npz").exists():
+            cfg = TuiNetConfig(num_classes=len(labels), n_mels=160)
+            params = init_params(jax.random.PRNGKey(hash(name) % 2**31), cfg)
+            save_checkpoint(
+                d,
+                params,
+                {
+                    "name": name,
+                    "architecture": "tuinet",
+                    "labels": labels,
+                    "pre_model": pre,
+                    "segment_length": 3,
+                    "segment_stride": 1.5,
+                    "hop_length": 640,
+                    "n_mels": 160,
+                    "break_freq": 1750,
+                    "htk": True,
+                    "fmin": 50,
+                    "fmax": 11000,
+                    "power": 2,
+                    "db_scale": True,
+                    "threshold": 0.7,
+                    "n_fft": 4096,
+                    "normalize": True,
+                },
+            )
+        dirs.append(str(d))
+    return dirs
+
+
+def make_recording(seconds=60, sr=48000, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(seconds * sr) / sr
+    y = 0.01 * rng.randn(len(t)).astype(np.float32)
+    for k, (f0, t0, dur) in enumerate(
+        [(3000, 2.0, 0.8), (2600, 8.0, 1.0), (4500, 18.0, 0.5), (2000, 30.0, 1.2), (3500, 45.0, 0.9)]
+    ):
+        m = (t >= t0) & (t < t0 + dur)
+        y[m] += (0.5 * np.sin(2 * np.pi * f0 * t[m])).astype(np.float32)
+    return y, sr
+
+
+def run_analysis(frames, sr, models, rng):
+    from audio_analysis_tpu.pipeline.classify import classify_frames
+    from audio_analysis_tpu.pipeline.cacophony import (
+        calc_cacophony_index,
+        filter_tracks,
+        get_chirps,
+        get_max_chirps,
+    )
+
+    tracks, length, signals, raw_length, bird_labels = classify_frames(
+        frames, sr, models, False, None, rng=rng
+    )
+    for t in tracks:
+        t.set_master_tag()
+    chirps = get_chirps(tracks, bird_labels, signals)
+    cacophony_index, _ = calc_cacophony_index(filter_tracks(tracks), length)
+    return {
+        "duration": raw_length,
+        "cacophony_index": cacophony_index,
+        "chirps": chirps,
+        "tracks": [t.get_meta() for t in tracks],
+    }
+
+
+def main():
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    tmp = Path("/tmp/aat_bench_models")
+    tmp.mkdir(exist_ok=True)
+    models = build_fixture_models(tmp)
+    frames, sr = make_recording(60)
+    seconds = len(frames) / sr
+
+    rng = np.random.RandomState(0)
+    # warmup / compile
+    run_analysis(frames, sr, models, rng)
+    run_analysis(frames, sr, models, rng)
+
+    runs = 5
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        run_analysis(frames, sr, models, rng)
+    elapsed = time.perf_counter() - t0
+    value = seconds * runs / elapsed
+
+    baseline = DEFAULT_CPU_BASELINE
+    bl_file = REPO / "BASELINE_CPU.json"
+    if baseline is None and bl_file.exists():
+        baseline = json.loads(bl_file.read_text()).get("audio_seconds_per_sec")
+    vs = value / baseline if baseline else value / 100.0  # fallback: north star
+
+    print(
+        json.dumps(
+            {
+                "metric": "full-pipeline audio throughput (60s recording, preproc+detect+2-model ensemble)",
+                "value": round(value, 2),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

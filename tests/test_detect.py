@@ -1,0 +1,184 @@
+"""Detection parity: device signal_noise vs a numpy/cv2 oracle transcribed
+from the reference (src/identify_tracks.py:650-706), merge-rule unit cases,
+and the padded-bucket invariance property of the static-shape programs."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+cv2 = pytest.importorskip("cv2")
+
+from audio_analysis_tpu.detect import (
+    Signal,
+    signal_noise,
+    get_end,
+    merge_signals,
+    get_tracks_from_signals,
+    segment_overlap,
+    mel_freq,
+)
+
+
+SR = 48000
+
+
+def _ref_stft_mag(y, n_fft, hop):
+    w = scipy.signal.get_window("hann", n_fft, fftbins=True)
+    ypad = np.pad(y, n_fft // 2)
+    n_frames = 1 + (len(ypad) - n_fft) // hop
+    frames = np.stack([ypad[i * hop : i * hop + n_fft] for i in range(n_frames)])
+    return np.abs(np.fft.rfft(frames * w, axis=-1)).T.astype(np.float32)
+
+
+def _oracle_signal_noise(frames, sr, hop_length=281):
+    """Transcription of reference signal_noise (numpy + cv2)."""
+    n_fft = 4096
+    spectogram = _ref_stft_mag(frames, n_fft, hop_length)
+    a_max = np.amax(spectogram)
+    spectogram = spectogram / a_max
+    row_medians = np.median(spectogram, axis=1)[:, None]
+    column_medians = np.median(spectogram, axis=0)[None, :]
+    signal = (spectogram > 3 * column_medians) & (spectogram > 3 * row_medians)
+    signal = signal.astype(np.uint8)
+    signal = cv2.morphologyEx(signal, cv2.MORPH_OPEN, np.ones((4, 4), np.uint8))
+    width = int(0.25 * sr / hop_length)
+    freqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    height = 0
+    for i, f in enumerate(freqs):
+        if f > 100:
+            height = i + 1
+            break
+    signal = cv2.dilate(signal, np.ones((height, width), np.uint8))
+    signal = cv2.erode(signal, np.ones((height // 10, width), np.uint8))
+    _, _, stats, _ = cv2.connectedComponentsWithStats(signal)
+    stats = stats[1:]
+    stats = sorted(stats, key=lambda s: s[0])
+    min_width = 0.65 * width
+    min_height = height - height // 10
+    stats = [s for s in stats if s[2] > min_width and s[3] > min_height]
+    out = []
+    for s in stats:
+        max_freq = min(len(freqs) - 1, s[1] + s[3])
+        out.append(
+            (
+                s[0] * 281 / sr,
+                (s[0] + s[2]) * 281 / sr,
+                freqs[s[1]],
+                freqs[max_freq],
+            )
+        )
+    return out
+
+
+def _chirpy_recording(seconds=6, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(seconds * SR)) / SR
+    y = 0.005 * rng.randn(len(t)).astype(np.float32)
+    # a few tone bursts ("chirps") at different freqs/times
+    for f0, t0, dur in [(3000, 0.5, 0.4), (2500, 2.0, 0.6), (6000, 4.0, 0.5)]:
+        m = (t >= t0) & (t < t0 + dur)
+        y[m] += (0.4 * np.sin(2 * np.pi * f0 * t[m])).astype(np.float32)
+    return y
+
+
+def test_signal_noise_matches_oracle():
+    y = _chirpy_recording()
+    got = signal_noise(y, SR)
+    ref = _oracle_signal_noise(y, SR)
+    assert len(got) == len(ref) and len(ref) > 0
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(
+            [g.start, g.end, g.freq_start, g.freq_end], r, rtol=1e-6
+        )
+
+
+def test_signal_noise_padded_bucket_invariance():
+    """Zero-padding to a bucket + n_valid must not change detections."""
+    y = _chirpy_recording(seconds=5.3, seed=1)
+    base = signal_noise(y, SR)
+    ypad = np.pad(y, (0, int(1.7 * SR)))
+    padded = signal_noise(ypad, SR, n_valid_samples=len(y))
+    assert len(base) == len(padded)
+    for a, b in zip(base, padded):
+        np.testing.assert_allclose(
+            [a.start, a.end, a.freq_start, a.freq_end],
+            [b.start, b.end, b.freq_start, b.freq_end],
+            rtol=1e-5,
+        )
+    # and parity with the truncating oracle
+    ref = _oracle_signal_noise(y, SR)
+    assert len(padded) == len(ref)
+
+
+def test_get_end_detects_flat_tail():
+    y = _chirpy_recording(seconds=4)
+    full = np.concatenate([y, np.zeros(4 * SR, np.float32)])
+    end = get_end(full, SR)
+    # flat region begins at 4 s (plus window spill); reference returns
+    # int seconds via floor division
+    assert end in (4, 5)
+
+
+def test_get_end_no_flat():
+    rng = np.random.RandomState(3)
+    y = 0.1 * rng.randn(3 * SR).astype(np.float32)
+    assert get_end(y, SR) == pytest.approx(3.0)
+
+
+# ---------------------------------------------------------------------------
+# merge rules (hand-crafted cases, expectations derived from the rules)
+# ---------------------------------------------------------------------------
+
+
+def test_segment_overlap():
+    assert segment_overlap((0, 2), (1, 3)) == 1
+    assert segment_overlap((0, 1), (2, 3)) == -1  # gap -> negative
+
+
+def test_mel_freq_uses_break_700():
+    assert mel_freq(700.0) == pytest.approx(2595.0 * np.log10(2.0))
+
+
+def test_merge_contained_signal():
+    # u fully inside s's time with similar freq -> merged
+    s = Signal(0.0, 2.0, 2000, 4000)
+    u = Signal(0.5, 1.0, 2100, 3900)
+    merged, did = merge_signals([s, u])
+    assert did and len(merged) == 1
+    m = merged[0]
+    assert m.start == 0.0 and m.end == 2.0
+    assert m.freq_start == 2000 and m.freq_end == 4000
+
+
+def test_no_merge_across_1500mel_split():
+    # one below 1500 mel-end, one above -> in_freq fails -> no merge
+    lo = Signal(0.0, 1.0, 100, 300)  # mel_freq_end(300) ~ 434
+    hi = Signal(0.2, 0.8, 3000, 5000)
+    merged, did = merge_signals([lo, hi])
+    assert not did and len(merged) == 2
+
+
+def test_merge_nearby_same_band():
+    # close in time (gap < 2s) with near-identical freq ranges
+    a = Signal(0.0, 1.0, 3000, 4000)
+    b = Signal(1.5, 2.5, 3050, 3950)
+    merged, did = merge_signals([a, b])
+    assert did and len(merged) == 1
+    assert merged[0].start == 0.0 and merged[0].end == 2.5
+
+
+def test_get_tracks_filters_short_and_enlarges():
+    s1 = Signal(1.0, 1.2, 3000, 4000)  # 0.2s < 0.35 -> dropped
+    s2 = Signal(5.0, 5.5, 6000, 7000)  # kept, enlarged to >= 0.7s
+    tracks = get_tracks_from_signals([s1, s2], end=60.0)
+    assert len(tracks) == 1
+    t = tracks[0]
+    assert t.length == pytest.approx(0.7)
+    assert t.start == pytest.approx(5.25 - 0.35 + 0.35) or t.start < 5.0 + 1e-6
+    # freq enlarged by 1.4 with int truncation
+    assert t.freq_start == 5800 and t.freq_end == 7200
+
+
+def test_get_tracks_min_mel_range_filter():
+    s = Signal(0.0, 1.0, 5000, 5010)  # tiny freq range -> mel range < 50
+    assert get_tracks_from_signals([s], end=10.0) == []
