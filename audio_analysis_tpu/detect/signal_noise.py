@@ -25,7 +25,10 @@ import jax.numpy as jnp
 from audio_analysis_tpu.ops.stft import stft_magnitude, num_frames
 from audio_analysis_tpu.ops.mel import fft_frequencies, mel_spec
 from audio_analysis_tpu.ops.morphology import dilate, erode
-from audio_analysis_tpu.ops.components import connected_components_with_stats
+from audio_analysis_tpu.ops.components import (
+    connected_components_with_stats,
+    connected_components_with_stats_packed,
+)
 from audio_analysis_tpu.detect.signal import Signal, SIGNAL_WIDTH
 
 
@@ -46,9 +49,8 @@ def _masked_median_cols(x: jnp.ndarray, n_valid: jnp.ndarray, axis: int) -> jnp.
     return (lo + hi) * 0.5
 
 
-@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft"))
-def _signal_mask_program(frames, n_valid, *, sr, hop_length, n_fft):
-    """Device program: padded PCM + valid-sample count -> binary mask.
+def _signal_mask(frames, n_valid, *, sr, hop_length, n_fft):
+    """Device computation: padded PCM + valid-sample count -> packed mask.
 
     Mirrors reference src/identify_tracks.py:650-684 on the valid region.
     """
@@ -94,6 +96,11 @@ def _signal_mask_program(frames, n_valid, *, sr, hop_length, n_fft):
     return _pack_bits(m)
 
 
+_signal_mask_program = partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft"))(
+    _signal_mask
+)
+
+
 def _pack_bits(m: jnp.ndarray) -> jnp.ndarray:
     """Pack a binary [R, C] mask to uint8 [R, ceil(C/8)] (np.unpackbits
     layout, MSB first). Host transfers over the TPU tunnel run at a few
@@ -122,10 +129,79 @@ def signal_noise(frames, sr, hop_length=281, n_valid_samples=None, n_fft=4096):
     )
     n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
     mask_np = np.unpackbits(np.asarray(packed), axis=1)[:, :n_frames_total] > 0
+    return _signals_from_mask(mask_np, sr, hop_length, n_fft)
 
-    stats = connected_components_with_stats(mask_np)
+
+@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft"))
+def _fused_detect_program(frames, n_valid, *, sr, hop_length, n_fft):
+    """End-scan + signal mask in ONE device program (one host round trip —
+    RPC latency to the tunnel TPU dominates small dispatches).
+
+    Returns (flat_found int32, flat_sec int32, packed_mask uint8). The mask
+    is computed against the end-scan's detected data end, exactly like the
+    host two-step (classify truncates to get_end's length,
+    reference src/identify_tracks.py:419-420).
+    """
+    mx, mn = _chunk_flatness(frames, sr=sr, hop_length=hop_length)
+    chunk = sr // hop_length
+    n_frames_valid = 1 + n_valid // hop_length
+    k = jnp.arange(mx.shape[0])
+    checkable = (k + 1) * chunk < n_frames_valid
+    flat = (mx == mn) & checkable
+    found = jnp.any(flat)
+    first = jnp.argmax(flat)  # first True (0 if none, guarded by `found`)
+    flat_sec = (first * chunk * hop_length) // sr
+    mask_valid = jnp.where(found, jnp.int32(sr) * flat_sec, n_valid)
+    packed = _signal_mask(
+        frames, mask_valid, sr=sr, hop_length=hop_length, n_fft=n_fft
+    )
+    return found.astype(jnp.int32), flat_sec.astype(jnp.int32), packed
+
+
+def _chunk_flatness(frames, *, sr, hop_length):
+    """Per-chunk (max, min) of the 120-mel power-1 spectrogram
+    (reference: src/identify_tracks.py:387-413)."""
+    n_fft = sr // 10
+    spec = stft_magnitude(frames, n_fft, hop_length)
+    mel = mel_spec(spec, sr, n_fft, 120, 50, 11000, 1750, power=1)
+    chunk = sr // hop_length
+    n_chunks = max(mel.shape[1] // chunk, 1)
+    usable = mel[:, : n_chunks * chunk].reshape(mel.shape[0], n_chunks, chunk)
+    return jnp.max(usable, axis=(0, 2)), jnp.min(usable, axis=(0, 2))
+
+
+_chunk_flatness_program = partial(jax.jit, static_argnames=("sr", "hop_length"))(
+    _chunk_flatness
+)
+
+
+def detect(frames, sr, n_valid_samples=None, hop_length=281, n_fft=4096):
+    """(length_seconds, signals) with one device round trip.
+
+    Equivalent to the reference sequence length = get_end(...);
+    signals = signal_noise(frames[:int(sr*length)]).
+    """
+    frames = jnp.asarray(frames, dtype=jnp.float32)
+    if n_valid_samples is None:
+        n_valid_samples = frames.shape[0]
+    found, flat_sec, packed = _fused_detect_program(
+        frames, jnp.int32(n_valid_samples), sr=sr, hop_length=hop_length, n_fft=n_fft
+    )
+    found = bool(np.asarray(found))
+    length = int(np.asarray(flat_sec)) if found else n_valid_samples / sr
+    n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
+    stats = connected_components_with_stats_packed(np.asarray(packed), n_frames_total)
+    return length, _signals_from_stats(stats, sr, hop_length, n_fft)
+
+
+def _signals_from_mask(mask_np, sr, hop_length, n_fft):
+    return _signals_from_stats(
+        connected_components_with_stats(mask_np), sr, hop_length, n_fft
+    )
+
+
+def _signals_from_stats(stats, sr, hop_length, n_fft):
     stats = sorted(stats.tolist(), key=lambda stat: stat[0])
-
     width = int(SIGNAL_WIDTH * sr / hop_length)
     freqs = fft_frequencies(sr, n_fft)
     height = 0
@@ -136,7 +212,6 @@ def signal_noise(frames, sr, hop_length=281, n_valid_samples=None, n_fft=4096):
     min_width = 0.65 * width
     min_height = height - height // 10
     stats = [s for s in stats if s[2] > min_width and s[3] > min_height]
-
     signals = []
     for s in stats:
         max_freq = min(len(freqs) - 1, s[1] + s[3])
@@ -145,20 +220,6 @@ def signal_noise(frames, sr, hop_length=281, n_valid_samples=None, n_fft=4096):
         end = (s[0] + s[2]) * hop_length / sr
         signals.append(Signal(start, end, freq_range[0], freq_range[1]))
     return signals
-
-
-@partial(jax.jit, static_argnames=("sr", "hop_length"))
-def _chunk_flatness_program(frames, *, sr, hop_length):
-    """Device program for get_end: per-chunk (max, min) of the 120-mel
-    power-1 spectrogram (reference: src/identify_tracks.py:387-413)."""
-    n_fft = sr // 10
-    spec = stft_magnitude(frames, n_fft, hop_length)
-    mel = mel_spec(spec, sr, n_fft, 120, 50, 11000, 1750, power=1)
-    chunk = sr // hop_length
-    n_frames_total = mel.shape[1]
-    n_chunks = max(n_frames_total // chunk, 1)
-    usable = mel[:, : n_chunks * chunk].reshape(mel.shape[0], n_chunks, chunk)
-    return jnp.max(usable, axis=(0, 2)), jnp.min(usable, axis=(0, 2))
 
 
 def get_end(frames, sr, n_valid_samples=None, hop_length=281):

@@ -18,18 +18,37 @@ import jax
 
 from audio_analysis_tpu.io.modelconfig import ModelConfig
 
+_MODEL_CACHE = {}
+
 
 class _JittedModel:
     def __init__(self, apply_fn, params):
+        self.apply_fn = apply_fn  # pure (params, x) -> probs; inlines in jit
+        self.params = params
         self._fn = jax.jit(apply_fn)
-        self._params = params
 
     def __call__(self, x):
-        return self._fn(self._params, x)
+        return self._fn(self.params, x)
 
 
 def load_classifier(model_path, cfg: ModelConfig):
+    """Load (and cache per path+mtime) a classifier. Caching keeps weights on
+    device across recordings and gives the fused classify program a stable
+    function identity to key its compile cache on."""
     model_path = Path(model_path)
+    try:
+        stamp = max(p.stat().st_mtime for p in model_path.rglob("*")) if model_path.is_dir() else model_path.stat().st_mtime
+    except (OSError, ValueError):
+        stamp = 0
+    key = (str(model_path.resolve()), stamp)
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    model = _load_classifier_uncached(model_path, cfg)
+    _MODEL_CACHE[key] = model
+    return model
+
+
+def _load_classifier_uncached(model_path, cfg: ModelConfig):
     arch = (cfg.raw or {}).get("architecture")
 
     if arch == "tuinet" or (model_path.is_dir() and (model_path / "weights.npz").exists()):

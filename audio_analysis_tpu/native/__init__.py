@@ -52,9 +52,21 @@ class _CclLib:
             ctypes.c_int64,
             np.ctypeslib.ndpointer(dtype=np.int64, ndim=2, flags="C_CONTIGUOUS"),
         ]
+        self._fn_packed = dll.ccl_stats_packed
+        self._fn_packed.restype = ctypes.c_int64
+        self._fn_packed.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.uint8, ndim=2, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(dtype=np.int64, ndim=2, flags="C_CONTIGUOUS"),
+        ]
 
     def ccl_stats(self, mask, h, w, out):
         return self._fn(mask, h, w, out)
+
+    def ccl_stats_packed(self, packed, h, w, w_bytes, out):
+        return self._fn_packed(packed, h, w, w_bytes, out)
 
 
 def load_ccl_library():

@@ -44,6 +44,14 @@ struct UnionFind {
 
 }  // namespace
 
+namespace {
+
+// Shared second phase: union runs across rows, aggregate stats.
+int64_t finish_ccl(std::vector<Run>& runs, std::vector<int64_t>& row_first,
+                   int64_t h, int64_t* out);
+
+}  // namespace
+
 extern "C" int64_t ccl_stats(const uint8_t* mask, int64_t h, int64_t w,
                              int64_t* out) {
   std::vector<Run> runs;
@@ -63,6 +71,75 @@ extern "C" int64_t ccl_stats(const uint8_t* mask, int64_t h, int64_t w,
     }
     row_first[y + 1] = static_cast<int64_t>(runs.size());
   }
+  return finish_ccl(runs, row_first, h, out);
+}
+
+// Bit-packed variant: mask rows are packed 8 pixels/byte, MSB first
+// (np.packbits layout); `w` is the logical pixel width, `w_bytes` the row
+// stride. Avoids a host-side unpack of the ~21 MB mask per recording.
+extern "C" int64_t ccl_stats_packed(const uint8_t* packed, int64_t h,
+                                    int64_t w, int64_t w_bytes, int64_t* out) {
+  std::vector<Run> runs;
+  runs.reserve(1024);
+  std::vector<int64_t> row_first(h + 1, -1);
+
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* row = packed + y * w_bytes;
+    int64_t run_start = -1;
+    int64_t x = 0;
+    for (int64_t b = 0; b < w_bytes; ++b) {
+      uint8_t byte = row[b];
+      if (byte == 0) {
+        if (run_start >= 0) {
+          if (row_first[y] < 0) row_first[y] = static_cast<int64_t>(runs.size());
+          runs.push_back({y, run_start, x});
+          run_start = -1;
+        }
+        x += 8;
+        continue;
+      }
+      if (byte == 0xFF) {
+        if (run_start < 0) run_start = x;
+        x += 8;
+        continue;
+      }
+      for (int bit = 7; bit >= 0; --bit, ++x) {
+        bool on = (byte >> bit) & 1;
+        if (on && run_start < 0) {
+          run_start = x;
+        } else if (!on && run_start >= 0) {
+          if (row_first[y] < 0) row_first[y] = static_cast<int64_t>(runs.size());
+          runs.push_back({y, run_start, x});
+          run_start = -1;
+        }
+      }
+    }
+    if (run_start >= 0) {
+      int64_t end = std::min(x, w);
+      if (run_start < w) {
+        if (row_first[y] < 0) row_first[y] = static_cast<int64_t>(runs.size());
+        runs.push_back({y, run_start, end});
+      }
+      run_start = -1;
+    } else if (!runs.empty() && runs.back().row == y && runs.back().end > w) {
+      runs.back().end = w;  // clamp trailing pad bits
+    }
+    // clamp any run that spilled into pad bits
+    row_first[y + 1] = static_cast<int64_t>(runs.size());
+  }
+  // clamp all run ends to logical width (pad bits are zero by construction
+  // on the producer side, but be safe)
+  for (auto& r : runs) {
+    if (r.end > w) r.end = w;
+    if (r.start >= w) r.start = w;  // degenerate; filtered by end<=start later
+  }
+  return finish_ccl(runs, row_first, h, out);
+}
+
+namespace {
+
+int64_t finish_ccl(std::vector<Run>& runs, std::vector<int64_t>& row_first,
+                   int64_t h, int64_t* out) {
   // normalise row_first: rows with no runs point at the next row's start
   for (int64_t y = h - 1; y >= 0; --y)
     if (row_first[y] < 0) row_first[y] = row_first[y + 1];
@@ -119,3 +196,5 @@ extern "C" int64_t ccl_stats(const uint8_t* mask, int64_t h, int64_t w,
   }
   return n_comp;
 }
+
+}  // namespace

@@ -119,3 +119,19 @@ def connected_components_with_stats(mask: np.ndarray) -> np.ndarray:
         n = lib.ccl_stats(mask, h, w, out)
         return out[:n]
     return _connected_components_numpy(mask)
+
+
+def connected_components_with_stats_packed(packed: np.ndarray, width: int) -> np.ndarray:
+    """Same, over a bit-packed mask (np.packbits layout, MSB first):
+    consumes the device's packed detection mask directly, skipping a ~200 ms
+    host unpack per 60 s recording."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    h, w_bytes = packed.shape
+    lib = load_ccl_library()
+    if lib is not None:
+        max_comp = h * width // 2 + 2
+        out = np.zeros((max_comp, 5), dtype=np.int64)
+        n = lib.ccl_stats_packed(packed, h, int(width), w_bytes, out)
+        return out[:n]
+    mask = np.unpackbits(packed, axis=1)[:, :width] > 0
+    return _connected_components_numpy(mask)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from audio_analysis_tpu.io.audio import load_recording
 from audio_analysis_tpu.io.modelconfig import ModelConfig, NON_BIRD
 from audio_analysis_tpu.detect.signal import Signal, ModelResult, Prediction, MAX_FREQUENCY
-from audio_analysis_tpu.detect.signal_noise import signal_noise, get_end
+from audio_analysis_tpu.detect.signal_noise import signal_noise, get_end, detect
 from audio_analysis_tpu.detect.signal import get_tracks_from_signals
 from audio_analysis_tpu.pipeline.samples import (
     plan_windows,
@@ -33,8 +33,82 @@ from audio_analysis_tpu.models.registry import load_classifier
 
 
 def _bucket(n, quantum=64):
-    """Round a window count up to a compile bucket."""
+    """Round a count up to a compile bucket."""
     return max(quantum, -(-n // quantum) * quantum)
+
+
+# fused per-group programs keyed by (model identities, cfg knobs, shapes);
+# stable keys keep jax.jit's own cache hot across recordings
+_GROUP_PROGRAMS = {}
+
+
+def _fused_group_program(models, cfg: ModelConfig, sr, sample_size, n_tracks_b):
+    """One device program: window gather -> frontend -> every model ->
+    ensemble mean -> per-track means. A single host round trip per model
+    group (RPC latency to the TPU dominates small dispatches)."""
+    key = (
+        tuple(id(m) for m in models),  # models are cached per path: stable
+        (
+            cfg.name,
+            int(cfg.hop_length),
+            int(cfg.n_fft),
+            int(cfg.n_mels),
+            float(cfg.break_freq),
+            bool(cfg.htk),
+            cfg.fmin,
+            cfg.fmax,
+            float(cfg.power),
+            bool(cfg.db_scale),
+            bool(cfg.normalize),
+            bool(cfg.mean_sub),
+            bool(cfg.use_mfcc),
+            int(cfg.channels),
+        ),
+        int(sr),
+        int(sample_size),
+        int(n_tracks_b),
+    )
+    prog = _GROUP_PROGRAMS.get(key)
+    if prog is not None:
+        return prog
+
+    from audio_analysis_tpu.pipeline.frontend import spectrogram_grid
+
+    def program(frames, base, vlo, vhi, tidx):
+        j = jnp.arange(sample_size)[None, :]
+        idx = jnp.clip(base[:, None] + j, 0, frames.shape[0] - 1)
+        grid = frames[idx]
+        valid = (j >= vlo[:, None]) & (j < vhi[:, None])
+        grid = jnp.where(valid, grid, 0.0)
+        feats = spectrogram_grid(
+            grid,
+            sr=int(sr),
+            hop_length=int(cfg.hop_length),
+            n_fft=int(cfg.n_fft),
+            n_mels=int(cfg.n_mels),
+            mel_break=float(cfg.break_freq),
+            htk=bool(cfg.htk),
+            fmin=cfg.fmin,
+            fmax=cfg.fmax,
+            power=float(cfg.power),
+            db_scale=bool(cfg.db_scale),
+            normalize=bool(cfg.normalize),
+            mean_sub=bool(cfg.mean_sub),
+            use_mfcc=bool(cfg.use_mfcc),
+            channels=int(cfg.channels),
+        )
+        if cfg.is_efficientnet:
+            feats = jnp.repeat(feats, 3, axis=-1)  # reference :539-540
+        probs = None
+        for m in models:
+            p = m.apply_fn(m.params, feats)
+            probs = p if probs is None else probs + p
+        probs = probs / len(models)
+        return _track_means(probs, tidx, n_tracks_b)
+
+    prog = jax.jit(program)
+    _GROUP_PROGRAMS[key] = prog
+    return prog
 
 
 def _apply_track_filters(frames, plan, sr):
@@ -86,20 +160,25 @@ def build_window_grid(frames, sr, tracks, cfg: ModelConfig, rng=np.random):
     grid = gather_windows(frames, plan)
     filtered = _apply_track_filters(frames, plan, sr)
     if filtered is not None:
-        # overwrite rows of filtered tracks with windows gathered from the
-        # filtered segment (local coordinates)
-        for row, (ti, _, _) in enumerate(plan.filter_specs):
-            g0, _ = plan.track_bounds[ti]
-            sel = np.nonzero(plan.track_index == ti)[0]
-            j = jnp.arange(plan.sample_size)[None, :]
-            base_local = jnp.asarray(plan.base[sel])[:, None] - g0
-            idx = jnp.clip(base_local + j, 0, filtered.shape[-1] - 1)
-            win = filtered[row][idx]
-            valid = (j >= jnp.asarray(plan.valid_lo[sel])[:, None]) & (
-                j < jnp.asarray(plan.valid_hi[sel])[:, None]
-            )
-            grid = grid.at[jnp.asarray(sel)].set(jnp.where(valid, win, 0.0))
+        grid = _overwrite_filtered_rows(grid, filtered, plan)
     return grid, plan
+
+
+def _overwrite_filtered_rows(grid, filtered, plan):
+    """Replace windows of band-passed tracks with gathers from the filtered
+    segments (local coordinates)."""
+    for row, (ti, _, _) in enumerate(plan.filter_specs):
+        g0, _ = plan.track_bounds[ti]
+        sel = np.nonzero(plan.track_index == ti)[0]
+        j = jnp.arange(plan.sample_size)[None, :]
+        base_local = jnp.asarray(plan.base[sel])[:, None] - g0
+        idx = jnp.clip(base_local + j, 0, filtered.shape[-1] - 1)
+        win = filtered[row][idx]
+        valid = (j >= jnp.asarray(plan.valid_lo[sel])[:, None]) & (
+            j < jnp.asarray(plan.valid_hi[sel])[:, None]
+        )
+        grid = grid.at[jnp.asarray(sel)].set(jnp.where(valid, win, 0.0))
+    return grid
 
 
 def features_for_config(grid, sr, cfg: ModelConfig):
@@ -144,8 +223,8 @@ def classify(file, models, analyse_tracks, meta_data=None, rng=np.random):
 def classify_frames(frames, sr, models, analyse_tracks, meta_data=None, rng=np.random):
     raw_length = len(frames) / sr
     frames_dev = jnp.asarray(frames, dtype=jnp.float32)
-    length = get_end(frames_dev, sr)
-    signals = signal_noise(frames_dev, sr, 281, n_valid_samples=int(sr * length))
+    # fused end-scan + detection: one device round trip
+    length, signals = detect(frames_dev, sr)
 
     if analyse_tracks:
         if meta_data is None:
@@ -200,29 +279,62 @@ def classify_frames(frames, sr, models, analyse_tracks, meta_data=None, rng=np.r
             )
 
         if track_data is None:
-            track_data = build_window_grid(frames_dev, sr, tracks, cfg, rng=rng)
+            plan = plan_windows(
+                int(frames_dev.shape[-1]),
+                sr,
+                tracks,
+                cfg.segment_length,
+                cfg.segment_stride,
+                fmin=cfg.fmin,
+                fmax=cfg.fmax,
+                filter_freqs=cfg.filter_freq,
+                filter_below=cfg.filter_below,
+                pad_short_tracks=cfg.pad_short_tracks,
+                rng=rng,
+            )
+            plan = pad_plan_to_bucket(plan)
+            track_data = plan
         else:
             logging.info(
                 "Re using track data this will cuase problems if the STFT "
                 "settings are not the same for multiple models"
             )
-        grid, plan = track_data
+        plan = track_data
         if plan.n_tracks == 0 or len(plan.base) == 0:
             return [], length, [], raw_length, []
 
-        feats = features_for_config(grid, sr, cfg)
-
-        all_probs = []
-        for model, mcfg in predict_models:
-            x = feats
-            if mcfg.is_efficientnet:
-                x = jnp.repeat(x, 3, axis=-1)  # reference :539-540
-            probs = model(x)
-            all_probs.append(probs)
-        probs = sum(all_probs) / len(all_probs)
-        track_probs = np.asarray(
-            _track_means(probs, plan.track_index, plan.n_tracks)
-        )
+        models_only = [m for m, _ in predict_models]
+        if plan.filter_specs:
+            # slow path: per-track band-passed grids (rare configs)
+            grid = gather_windows(frames_dev, plan)
+            filtered = _apply_track_filters(frames_dev, plan, sr)
+            if filtered is not None:
+                grid = _overwrite_filtered_rows(grid, filtered, plan)
+            feats = features_for_config(grid, sr, cfg)
+            all_probs = []
+            for model, mcfg in predict_models:
+                x = feats
+                if cfg.is_efficientnet:
+                    x = jnp.repeat(x, 3, axis=-1)  # reference :539-540
+                all_probs.append(model(x))
+            probs = sum(all_probs) / len(all_probs)
+            track_probs = np.asarray(
+                _track_means(probs, plan.track_index, plan.n_tracks)
+            )
+        else:
+            n_tracks_b = _bucket(plan.n_tracks, 8)
+            prog = _fused_group_program(
+                models_only, cfg, sr, plan.sample_size, n_tracks_b
+            )
+            track_probs = np.asarray(
+                prog(
+                    frames_dev,
+                    jnp.asarray(plan.base),
+                    jnp.asarray(plan.valid_lo),
+                    jnp.asarray(plan.valid_hi),
+                    jnp.asarray(plan.track_index),
+                )
+            )[: plan.n_tracks]
 
         labels = cfg.labels
         ebird_ids = cfg.ebird_ids
