@@ -32,9 +32,17 @@ from audio_analysis_tpu.ops.components import (
 from audio_analysis_tpu.detect.signal import Signal, SIGNAL_WIDTH
 
 
+def _to_float(frames: jnp.ndarray) -> jnp.ndarray:
+    """int16 PCM -> float32 in [-1, 1) (exactly the 16-bit decode scaling,
+    reference src/common.py:92 semantics); float input passes through."""
+    if frames.dtype == jnp.int16:
+        return frames.astype(jnp.float32) / 32768.0
+    return frames
+
+
 def _masked_median_cols(x: jnp.ndarray, n_valid: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Median over `axis` counting only the first n_valid entries (others
-    must already be +inf)."""
+    must already be +inf). Sort-based reference implementation."""
     s = jnp.sort(x, axis=axis)
     lo = jnp.take_along_axis(
         s,
@@ -47,6 +55,75 @@ def _masked_median_cols(x: jnp.ndarray, n_valid: jnp.ndarray, axis: int) -> jnp.
         axis=axis,
     )
     return (lo + hi) * 0.5
+
+
+def _kth_smallest_nonneg(x: jnp.ndarray, k, axis: int) -> jnp.ndarray:
+    """Exact k-th smallest (0-indexed) of NON-NEGATIVE float32 along `axis`
+    via 31-step binary search on the IEEE bit pattern (integer order ==
+    float order for non-negative floats).
+
+    A TPU sort of a [2049, 10250] array costs hundreds of ms (O(log^2 n)
+    data passes); this is 31 compare+count passes that XLA fuses, ~20x
+    cheaper, and the result is exactly an element of x.
+    """
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    red_shape = x.shape[:axis] + x.shape[axis + 1 :]
+    k = jnp.broadcast_to(jnp.asarray(k, jnp.int32), red_shape)
+    lo = jnp.zeros(red_shape, jnp.int32)
+    hi = jnp.full(red_shape, jnp.int32(2**31 - 1))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum(
+            xi <= jnp.expand_dims(mid, axis), axis=axis
+        ).astype(jnp.int32)
+        take = cnt >= k + 1
+        return jnp.where(take, lo, mid + 1), jnp.where(take, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    return jax.lax.bitcast_convert_type(lo, jnp.float32)
+
+
+def _masked_median_fast(x: jnp.ndarray, n_valid, axis: int, keepdims=True) -> jnp.ndarray:
+    """np.median semantics over the first n_valid entries of `axis` (others
+    +inf), exact, via rank selection instead of sort. x must be >= 0.
+
+    Both middle ranks are searched in one loop so each iteration reads the
+    array once (two fused comparisons)."""
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    k1 = (n_valid - 1) // 2
+    k2 = n_valid // 2
+
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    red_shape = x.shape[:axis] + x.shape[axis + 1 :]
+    k1 = jnp.broadcast_to(k1, red_shape)
+    k2 = jnp.broadcast_to(k2, red_shape)
+    z = jnp.zeros(red_shape, jnp.int32)
+    top = jnp.full(red_shape, jnp.int32(2**31 - 1))
+
+    def body(_, state):
+        lo1, hi1, lo2, hi2 = state
+        m1 = lo1 + (hi1 - lo1) // 2
+        m2 = lo2 + (hi2 - lo2) // 2
+        c1 = jnp.sum(xi <= jnp.expand_dims(m1, axis), axis=axis).astype(jnp.int32)
+        c2 = jnp.sum(xi <= jnp.expand_dims(m2, axis), axis=axis).astype(jnp.int32)
+        t1 = c1 >= k1 + 1
+        t2 = c2 >= k2 + 1
+        return (
+            jnp.where(t1, lo1, m1 + 1),
+            jnp.where(t1, m1, hi1),
+            jnp.where(t2, lo2, m2 + 1),
+            jnp.where(t2, m2, hi2),
+        )
+
+    lo1, _, lo2, _ = jax.lax.fori_loop(0, 31, body, (z, top, z, top))
+    a = jax.lax.bitcast_convert_type(lo1, jnp.float32)
+    b = jax.lax.bitcast_convert_type(lo2, jnp.float32)
+    med = (a + b) * 0.5
+    if keepdims:
+        med = jnp.expand_dims(med, axis)
+    return med
 
 
 def _signal_mask(frames, n_valid, *, sr, hop_length, n_fft):
@@ -68,9 +145,10 @@ def _signal_mask(frames, n_valid, *, sr, hop_length, n_fft):
     spec = spec / a_max
 
     # row medians over valid columns only; column medians over all rows
+    # (rank selection, not sort: ~20x cheaper on TPU; exactly np.median)
     spec_inf = jnp.where(col_valid[None, :], spec, jnp.inf)
-    row_medians = _masked_median_cols(spec_inf, nvf, axis=1)  # [bins, 1]
-    column_medians = jnp.median(spec, axis=0, keepdims=True)  # [1, T]
+    row_medians = _masked_median_fast(spec_inf, nvf, axis=1)  # [bins, 1]
+    column_medians = _masked_median_fast(spec, bins, axis=0)  # [1, T]
 
     mask = (spec > 3 * column_medians) & (spec > 3 * row_medians)
     mask = (mask & col_valid[None, :]).astype(jnp.float32)
@@ -132,8 +210,7 @@ def signal_noise(frames, sr, hop_length=281, n_valid_samples=None, n_fft=4096):
     return _signals_from_mask(mask_np, sr, hop_length, n_fft)
 
 
-@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft"))
-def _fused_detect_program(frames, n_valid, *, sr, hop_length, n_fft):
+def _fused_detect_core(frames, n_valid, *, sr, hop_length, n_fft):
     """End-scan + signal mask in ONE device program (one host round trip —
     RPC latency to the tunnel TPU dominates small dispatches).
 
@@ -141,7 +218,12 @@ def _fused_detect_program(frames, n_valid, *, sr, hop_length, n_fft):
     is computed against the end-scan's detected data end, exactly like the
     host two-step (classify truncates to get_end's length,
     reference src/identify_tracks.py:419-420).
+
+    `frames` may be int16 PCM (uploads at half the bytes over the tunnel);
+    conversion to float32/32768 on device is bit-identical to the reference's
+    16-bit decode path.
     """
+    frames = _to_float(frames)
     mx, mn = _chunk_flatness(frames, sr=sr, hop_length=hop_length)
     chunk = sr // hop_length
     n_frames_valid = 1 + n_valid // hop_length
@@ -156,6 +238,54 @@ def _fused_detect_program(frames, n_valid, *, sr, hop_length, n_fft):
         frames, mask_valid, sr=sr, hop_length=hop_length, n_fft=n_fft
     )
     return found.astype(jnp.int32), flat_sec.astype(jnp.int32), packed
+
+
+_fused_detect_program = partial(
+    jax.jit, static_argnames=("sr", "hop_length", "n_fft")
+)(_fused_detect_core)
+
+
+@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft"))
+def _fused_detect_batch_program(frames, n_valid, *, sr, hop_length, n_fft):
+    """Batch-of-recordings detection: vmap of the fused core over [B, T]
+    recordings; one dispatch for the whole batch."""
+    return jax.vmap(
+        lambda f, v: _fused_detect_core(f, v, sr=sr, hop_length=hop_length, n_fft=n_fft)
+    )(frames, n_valid)
+
+
+def detect_batch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096):
+    """[(length_seconds, signals), ...] for a [B, T] stack of recordings in
+    one device round trip. Accepts int16 PCM (half the upload bytes;
+    converted on device). CCL runs per recording on host threads (the C++
+    op releases the GIL via ctypes)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    frames_batch = jnp.asarray(frames_batch)
+    if frames_batch.dtype != jnp.int16:
+        frames_batch = frames_batch.astype(jnp.float32)
+    n_valid = jnp.asarray(n_valid, dtype=jnp.int32)
+    found, flat_sec, packed = _fused_detect_batch_program(
+        frames_batch, n_valid, sr=sr, hop_length=hop_length, n_fft=n_fft
+    )
+    found = np.asarray(found)
+    flat_sec = np.asarray(flat_sec)
+    packed = np.asarray(packed)
+    n_valid_np = np.asarray(n_valid)
+    n_frames_total = num_frames(frames_batch.shape[-1], hop_length, n_fft)
+
+    def one(b):
+        stats = connected_components_with_stats_packed(packed[b], n_frames_total)
+        return _signals_from_stats(stats, sr, hop_length, n_fft)
+
+    B = frames_batch.shape[0]
+    with ThreadPoolExecutor(max_workers=min(8, B)) as ex:
+        all_signals = list(ex.map(one, range(B)))
+    out = []
+    for b in range(B):
+        length = int(flat_sec[b]) if found[b] else float(n_valid_np[b]) / sr
+        out.append((length, all_signals[b]))
+    return out
 
 
 def _chunk_flatness(frames, *, sr, hop_length):

@@ -1,0 +1,159 @@
+"""Fused windowed-DFT -> power -> mel kernel (Pallas, MXU).
+
+The XLA path materialises the full |STFT| array ([n_frames, 2049] floats) in
+HBM between the FFT and the mel matmul. This kernel reformulates the rFFT as
+two real matmuls against hann-folded DFT matrices and fuses power + the mel
+projection, so each frame block goes HBM->VMEM once and only [BF, n_mels]
+leaves — the classic MXU trade (more FLOPs, ~60x, for far less HBM traffic;
+the MXU has the FLOPs to spare at these sizes).
+
+Numerics: float32 matmuls (f32 accumulate on the MXU) keep the mel output
+within ~1e-5 relative of the rFFT path, inside the framework's float parity
+budget.
+
+Layout: grid (frame_blocks, bin_chunks); the output block is revisited
+consecutively across the bin-chunk dim and accumulated in place (standard
+Pallas accumulation pattern). DFT bins are zero-padded to a chunk multiple —
+the padded rows carry zero mel weight so the result is exact.
+"""
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audio_analysis_tpu.ops.windows import get_window_np
+from audio_analysis_tpu.ops.mel import _mel_filterbank_np, _mel_filterbank_slaney_np
+
+BF = 128  # frames per block
+CB = 128  # DFT bins per chunk
+
+
+@lru_cache(maxsize=8)
+def _dft_mats(n_fft: int, window: str):
+    """Hann-folded real/imag DFT matrices [bins_padded, n_fft] (float32)."""
+    bins = 1 + n_fft // 2
+    bins_p = -(-bins // CB) * CB
+    n = np.arange(n_fft)
+    k = np.arange(bins)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft
+    w = get_window_np(window, n_fft, periodic=True).astype(np.float64)
+    wr = np.zeros((bins_p, n_fft), np.float32)
+    wi = np.zeros((bins_p, n_fft), np.float32)
+    wr[:bins] = (np.cos(ang) * w).astype(np.float32)
+    wi[:bins] = (-np.sin(ang) * w).astype(np.float32)
+    return wr, wi, bins_p
+
+
+@lru_cache(maxsize=16)
+def _mel_mat(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bins_p):
+    if htk:
+        fb = _mel_filterbank_np(float(sr), int(n_mels), float(fmin), float(fmax), int(n_fft), float(break_freq))
+    else:
+        fb = _mel_filterbank_slaney_np(float(sr), int(n_mels), float(fmin), float(fmax), int(n_fft))
+    out = np.zeros((bins_p, fb.shape[0]), np.float32)
+    out[: fb.shape[1]] = fb.T  # [bins_p, n_mels]
+    return out
+
+
+def _kernel(fr_ref, wr_ref, wi_ref, mel_ref, out_ref, *, power):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = fr_ref[:]  # [BF, n_fft]
+    contract = (((1,), (1,)), ((), ()))
+    r = jax.lax.dot_general(x, wr_ref[:], contract, preferred_element_type=jnp.float32)
+    im = jax.lax.dot_general(x, wi_ref[:], contract, preferred_element_type=jnp.float32)
+    p = r * r + im * im  # |rfft|^2
+    if power == 1.0:
+        p = jnp.sqrt(p)
+    elif power != 2.0:
+        p = jnp.power(p, power / 2.0)
+    out_ref[:] += jnp.dot(p, mel_ref[:], preferred_element_type=jnp.float32)
+
+
+# device-resident weight cache: keyed by the static config; keeps the big
+# DFT/mel matrices OUT of the jaxpr (84 MB constants would bloat every
+# compile) and uploaded once per process
+_DEVICE_WEIGHTS = {}
+
+
+def _device_weights(sr, n_fft, n_mels, fmin, fmax, break_freq, htk, window):
+    key = (sr, n_fft, n_mels, fmin, fmax, break_freq, htk, window)
+    got = _DEVICE_WEIGHTS.get(key)
+    if got is None:
+        wr, wi, bins_p = _dft_mats(n_fft, window)
+        melm = _mel_mat(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bins_p)
+        got = (jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(melm), bins_p)
+        _DEVICE_WEIGHTS[key] = got
+    return got
+
+
+@partial(jax.jit, static_argnames=("hop_length", "n_fft", "power", "interpret"))
+def _melspec_core(windows, wr, wi, melm, *, hop_length, n_fft, power, interpret=False):
+    from audio_analysis_tpu.ops.stft import frame
+
+    n, s = windows.shape
+    f = 1 + s // hop_length
+    padded = jnp.pad(windows, ((0, 0), (n_fft // 2, n_fft // 2)))
+    frames = frame(padded, n_fft, hop_length).reshape(-1, n_fft)  # [N*F, n_fft]
+    nf = frames.shape[0]
+    nf_p = -(-nf // BF) * BF
+    frames = jnp.pad(frames, ((0, nf_p - nf), (0, 0)))
+
+    bins_p = wr.shape[0]
+    n_mels = melm.shape[1]
+    n_chunks = bins_p // CB
+
+    out = pl.pallas_call(
+        partial(_kernel, power=power),
+        grid=(nf_p // BF, n_chunks),
+        in_specs=[
+            pl.BlockSpec((BF, n_fft), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, n_fft), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, n_fft), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, n_mels), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BF, n_mels), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf_p, n_mels), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nf_p * bins_p * n_fft * 2 + 2 * nf_p * bins_p * n_mels,
+            bytes_accessed=(nf_p // BF) * bins_p * n_fft * 8 + nf_p * n_fft * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(frames, wr, wi, melm)
+
+    out = out[:nf].reshape(n, f, n_mels)
+    return jnp.transpose(out, (0, 2, 1))
+
+
+def pallas_mel_spectrogram(
+    windows: jnp.ndarray,
+    *,
+    sr: int,
+    n_fft: int,
+    hop_length: int,
+    n_mels: int,
+    fmin: float,
+    fmax: float,
+    break_freq: float = 1750.0,
+    power: float = 2.0,
+    htk: bool = True,
+    window: str = "hann",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[N, S] PCM windows -> [N, n_mels, F] mel spectrograms
+    (librosa STFT conventions: centre/constant padding)."""
+    wr, wi, melm, _ = _device_weights(
+        int(sr), int(n_fft), int(n_mels), float(fmin), float(fmax), float(break_freq), bool(htk), window
+    )
+    return _melspec_core(
+        windows, wr, wi, melm,
+        hop_length=int(hop_length), n_fft=int(n_fft), power=float(power),
+        interpret=interpret,
+    )

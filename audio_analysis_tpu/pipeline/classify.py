@@ -78,6 +78,8 @@ def _fused_group_program(models, cfg: ModelConfig, sr, sample_size, n_tracks_b):
         j = jnp.arange(sample_size)[None, :]
         idx = jnp.clip(base[:, None] + j, 0, frames.shape[0] - 1)
         grid = frames[idx]
+        if grid.dtype == jnp.int16:  # int16 PCM upload path (serve)
+            grid = grid.astype(jnp.float32) / 32768.0
         valid = (j >= vlo[:, None]) & (j < vhi[:, None])
         grid = jnp.where(valid, grid, 0.0)
         feats = spectrogram_grid(
@@ -336,25 +338,33 @@ def classify_frames(frames, sr, models, analyse_tracks, meta_data=None, rng=np.r
                 )
             )[: plan.n_tracks]
 
-        labels = cfg.labels
-        ebird_ids = cfg.ebird_ids
-        prob_thresh = cfg.threshold
         windows_per_track = np.bincount(plan.track_index, minlength=plan.n_tracks)
-        for ti, t in enumerate(tracks):
-            if windows_per_track[ti] == 0:
-                continue  # skipped/out-of-band track (reference :537-538)
-            prediction = track_probs[ti]
-            max_p = None
-            result = ModelResult(cfg.name, cfg.pre_model)
-            t.results.append(result)
-            for i, p in enumerate(prediction):
-                if max_p is None or p > max_p[1]:
-                    max_p = (i, p)
-                if p >= prob_thresh:
-                    ebird_id = ebird_ids[i] if ebird_ids is not None else None
-                    result.add_prediction(labels[i], p, ebird_id, prob_thresh)
-            if len(result.predictions) == 0:
-                ebird_id = ebird_ids[max_p[0]] if ebird_ids is not None else None
-                result.raw_prediction = Prediction(labels[max_p[0]], max_p[1], ebird_id)
+        apply_thresholds(tracks, track_probs, windows_per_track, cfg)
 
     return tracks, length, signals, raw_length, list(bird_labels)
+
+
+def apply_thresholds(tracks, track_probs, windows_per_track, cfg: ModelConfig):
+    """Turn per-track mean probabilities into Prediction/ModelResult objects
+    (reference: src/identify_tracks.py:553-571): labels above threshold keep
+    their ebird ids; otherwise the argmax becomes a raw below-threshold
+    prediction."""
+    labels = cfg.labels
+    ebird_ids = cfg.ebird_ids
+    prob_thresh = cfg.threshold
+    for ti, t in enumerate(tracks):
+        if windows_per_track[ti] == 0:
+            continue  # skipped/out-of-band track (reference :537-538)
+        prediction = track_probs[ti]
+        max_p = None
+        result = ModelResult(cfg.name, cfg.pre_model)
+        t.results.append(result)
+        for i, p in enumerate(prediction):
+            if max_p is None or p > max_p[1]:
+                max_p = (i, p)
+            if p >= prob_thresh:
+                ebird_id = ebird_ids[i] if ebird_ids is not None else None
+                result.add_prediction(labels[i], p, ebird_id, prob_thresh)
+        if len(result.predictions) == 0:
+            ebird_id = ebird_ids[max_p[0]] if ebird_ids is not None else None
+            result.raw_prediction = Prediction(labels[max_p[0]], max_p[1], ebird_id)

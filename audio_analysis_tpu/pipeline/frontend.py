@@ -4,6 +4,7 @@ window grid. Normalise -> STFT -> mel matmul -> dB -> mean-sub -> channels,
 all static-shape; XLA fuses the epilogues into the FFT/matmul.
 """
 
+import os
 from functools import partial
 
 import jax
@@ -14,6 +15,13 @@ from audio_analysis_tpu.ops.mel import mel_filterbank, mel_filterbank_slaney
 from audio_analysis_tpu.ops.scale import power_to_db, normalize_minmax
 from audio_analysis_tpu.ops.dct import dct2
 from audio_analysis_tpu.models.layers import resize_with_pad
+
+
+def _use_pallas_default() -> bool:
+    """Pallas DFT->mel kernel opt-in (AAT_PALLAS=1). The XLA FFT path is the
+    default; the Pallas path trades ~60x FLOPs (MXU has them) for not
+    materialising the [N, 2049, T] magnitude array in HBM."""
+    return os.environ.get("AAT_PALLAS", "0").lower() in ("1", "true", "on")
 
 
 @partial(
@@ -33,6 +41,7 @@ from audio_analysis_tpu.models.layers import resize_with_pad
         "mean_sub",
         "use_mfcc",
         "channels",
+        "use_pallas",
     ),
 )
 def spectrogram_grid(
@@ -52,6 +61,7 @@ def spectrogram_grid(
     mean_sub: bool = False,
     use_mfcc: bool = False,
     channels: int = 1,
+    use_pallas: bool = None,
 ) -> jnp.ndarray:
     """[N, sample_size] PCM windows -> [N, n_mels, frames, channels] features.
 
@@ -61,20 +71,40 @@ def spectrogram_grid(
     if normalize:
         windows = normalize_minmax(windows)
 
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+
     if htk:
-        mag = stft_magnitude(windows, n_fft, hop_length)  # [N, bins, T]
         f_lo = 50.0 if fmin is None else fmin
         f_hi = 11000.0 if fmin is None else fmax  # quirk: keyed on fmin
-        fb = mel_filterbank(sr, n_mels, f_lo, f_hi, n_fft, mel_break)
-        p = mag if power == 1 else (mag * mag if power == 2 else mag**power)
-        mel = jnp.einsum("mf,nft->nmt", fb, p, preferred_element_type=jnp.float32)
+        if use_pallas:
+            from audio_analysis_tpu.ops.pallas.melspec import pallas_mel_spectrogram
+
+            mel = pallas_mel_spectrogram(
+                windows, sr=sr, n_fft=n_fft, hop_length=hop_length,
+                n_mels=n_mels, fmin=f_lo, fmax=f_hi, break_freq=mel_break,
+                power=power, htk=True,
+            )
+        else:
+            mag = stft_magnitude(windows, n_fft, hop_length)  # [N, bins, T]
+            fb = mel_filterbank(sr, n_mels, f_lo, f_hi, n_fft, mel_break)
+            p = mag if power == 1 else (mag * mag if power == 2 else mag**power)
+            mel = jnp.einsum("mf,nft->nmt", fb, p, preferred_element_type=jnp.float32)
     else:
         # librosa.feature.melspectrogram defaults: Slaney scale/norm, power 2
-        mag = stft_magnitude(windows, n_fft, hop_length)
-        fb = mel_filterbank_slaney(sr, n_mels, 50.0, 11000.0, n_fft)
-        mel = jnp.einsum(
-            "mf,nft->nmt", fb, mag * mag, preferred_element_type=jnp.float32
-        )
+        if use_pallas:
+            from audio_analysis_tpu.ops.pallas.melspec import pallas_mel_spectrogram
+
+            mel = pallas_mel_spectrogram(
+                windows, sr=sr, n_fft=n_fft, hop_length=hop_length,
+                n_mels=n_mels, fmin=50.0, fmax=11000.0, power=2.0, htk=False,
+            )
+        else:
+            mag = stft_magnitude(windows, n_fft, hop_length)
+            fb = mel_filterbank_slaney(sr, n_mels, 50.0, 11000.0, n_fft)
+            mel = jnp.einsum(
+                "mf,nft->nmt", fb, mag * mag, preferred_element_type=jnp.float32
+            )
 
     if db_scale:
         mel = power_to_db(mel, ref_axes=(-2, -1))

@@ -1,0 +1,218 @@
+"""Batch-of-recordings serving (BASELINE config #5: batch -> per-track JSON).
+
+A ``BatchAnalyzer`` keeps models and compiled programs warm and processes N
+recordings with two device dispatches per batch + one per model group:
+
+1. recordings stacked [B, T_bucket] -> one batched fused-detect dispatch
+   (end-scan + masks for every recording);
+2. host: CCL + track merging per recording, one combined window plan over
+   the flattened [B*T] PCM with globally renumbered track ids;
+3. one fused gather->frontend->models->track-means dispatch per model group
+   for the WHOLE batch;
+4. host: thresholds, master tags, chirps, cacophony index per recording.
+
+On a mesh, the window grid shards along 'data' (DP/SP); single chip it's one
+big MXU-saturating batch. RPC latency amortises across the batch — this is
+the production-throughput path.
+"""
+
+import logging
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_analysis_tpu.io.modelconfig import ModelConfig, NON_BIRD
+from audio_analysis_tpu.detect.signal import Signal, MAX_FREQUENCY
+from audio_analysis_tpu.detect.signal import get_tracks_from_signals
+from audio_analysis_tpu.detect.signal_noise import detect_batch
+from audio_analysis_tpu.pipeline.samples import plan_windows, WindowPlan, pad_plan_to_bucket
+from audio_analysis_tpu.pipeline.classify import (
+    _fused_group_program,
+    _bucket,
+    apply_thresholds,
+)
+from audio_analysis_tpu.pipeline.cacophony import (
+    calc_cacophony_index,
+    filter_tracks,
+    get_chirps,
+    get_max_chirps,
+)
+from audio_analysis_tpu.models.registry import load_classifier
+
+
+class BatchAnalyzer:
+    """Warm serving handle: analyse lists of recordings efficiently."""
+
+    def __init__(self, models, sr=48000, bucket_seconds=60, rng=np.random):
+        self.sr = int(sr)
+        self.bucket = int(bucket_seconds * sr)
+        self.rng = rng
+        self.pre_models = []
+        self.mean_models = []
+        for model_file in models:
+            cfg = ModelConfig.load(Path(model_file))
+            entry = (load_classifier(Path(model_file), cfg), cfg)
+            (self.pre_models if cfg.pre_model else self.mean_models).append(entry)
+        self.groups = [g for g in (self.mean_models, self.pre_models) if g]
+
+    # -- public -------------------------------------------------------------
+
+    def analyse_recordings(self, recordings, sr=None):
+        """recordings: list of mono float32 numpy arrays at self.sr.
+        Returns a list of result dicts (species_identify schema)."""
+        sr = int(sr or self.sr)
+        B = len(recordings)
+        if B == 0:
+            return []
+        t_bucket = max(
+            self.bucket, max(-(-len(r) // self.sr) * self.sr for r in recordings)
+        )
+        # int16 PCM uploads at half the bytes and converts on device
+        # (bit-identical to the 16-bit decode scaling); mixed input falls
+        # back to float32.
+        all_i16 = all(np.asarray(r).dtype == np.int16 for r in recordings)
+        dtype = np.int16 if all_i16 else np.float32
+        stacked = np.zeros((B, t_bucket), dtype)
+        n_valid = np.zeros(B, np.int32)
+        for i, r in enumerate(recordings):
+            stacked[i, : len(r)] = r
+            n_valid[i] = len(r)
+        frames_dev = jnp.asarray(stacked)
+
+        detections = detect_batch(frames_dev, n_valid, sr)
+
+        per_rec_tracks = []
+        all_tracks = []
+        plans = []
+        rng = self.rng
+        cfg0 = self.groups[0][0][1]
+        for b, (length, signals) in enumerate(detections):
+            tracks = get_tracks_from_signals([s.copy() for s in signals], length)
+            per_rec_tracks.append((length, signals, tracks))
+            plan = plan_windows(
+                int(n_valid[b]),
+                sr,
+                tracks,
+                cfg0.segment_length,
+                cfg0.segment_stride,
+                fmin=cfg0.fmin,
+                fmax=cfg0.fmax,
+                filter_freqs=cfg0.filter_freq,
+                filter_below=cfg0.filter_below,
+                pad_short_tracks=cfg0.pad_short_tracks,
+                rng=rng,
+            )
+            plans.append(plan)
+            all_tracks.append(tracks)
+
+        combined = self._combine_plans(plans, t_bucket)
+        flat_frames = frames_dev.reshape(-1)
+
+        track_offset = np.cumsum([0] + [len(t) for t in all_tracks])
+        n_total_tracks = int(track_offset[-1])
+
+        for group in self.groups:
+            cfg = group[0][1]
+            models_only = [m for m, _ in group]
+            if n_total_tracks == 0 or len(combined.base) == 0:
+                break
+            n_tracks_b = _bucket(n_total_tracks, 8)
+            prog = _fused_group_program(
+                models_only, cfg, sr, combined.sample_size, n_tracks_b
+            )
+            padded = pad_plan_to_bucket(
+                WindowPlan(
+                    base=combined.base,
+                    valid_lo=combined.valid_lo,
+                    valid_hi=combined.valid_hi,
+                    track_index=combined.track_index,
+                    n_tracks=n_total_tracks,
+                    sample_size=combined.sample_size,
+                )
+            )
+            track_probs = np.asarray(
+                prog(
+                    flat_frames,
+                    jnp.asarray(padded.base),
+                    jnp.asarray(padded.valid_lo),
+                    jnp.asarray(padded.valid_hi),
+                    jnp.asarray(padded.track_index),
+                )
+            )[:n_total_tracks]
+            windows_per_track = np.bincount(
+                padded.track_index, minlength=n_total_tracks
+            )
+            for b in range(B):
+                lo, hi = track_offset[b], track_offset[b + 1]
+                apply_thresholds(
+                    all_tracks[b],
+                    track_probs[lo:hi],
+                    windows_per_track[lo:hi],
+                    cfg,
+                )
+
+        # host post-processing per recording
+        results = []
+        for b in range(B):
+            length, signals, tracks = per_rec_tracks[b]
+            bird_labels = set()
+            for _, cfg in self.groups[0] + (self.groups[1] if len(self.groups) > 1 else []):
+                bird_labels.update(cfg.bird_labels)
+            for t in tracks:
+                t.set_master_tag()
+            rec_signals = [s.to_array() for s in signals]
+            chirps = get_chirps(tracks, list(bird_labels), signals)
+            cacophony_index, _ = calc_cacophony_index(filter_tracks(tracks), length)
+            max_chirps = get_max_chirps(length)
+            results.append(
+                {
+                    "duration": int(n_valid[b]) / sr,
+                    "cacophony_index": cacophony_index,
+                    "cacophony_index_version": "2.0",
+                    "chirps": {
+                        "chirps": chirps,
+                        "max_chirps": max_chirps,
+                        "chirp_index": 0 if max_chirps == 0 else round(100 * chirps / max_chirps),
+                        "signals": rec_signals,
+                    },
+                    "non_bird_tags": NON_BIRD,
+                    "species_identify": [t.get_meta() for t in tracks],
+                    "species_identify_version": "2025-12-01",
+                }
+            )
+        return results
+
+    # -- internals ----------------------------------------------------------
+
+    @staticmethod
+    def _combine_plans(plans, t_bucket):
+        """Merge per-recording plans into one global plan over [B*T] PCM."""
+        bases, vlo, vhi, tidx = [], [], [], []
+        track_base = 0
+        sample_size = plans[0].sample_size if plans else 0
+        for b, plan in enumerate(plans):
+            bases.append(plan.base.astype(np.int64) + b * t_bucket)
+            vlo.append(plan.valid_lo)
+            vhi.append(plan.valid_hi)
+            tidx.append(plan.track_index + track_base)
+            track_base += plan.n_tracks
+            sample_size = plan.sample_size
+        if not bases:
+            return WindowPlan(
+                base=np.zeros(0, np.int64),
+                valid_lo=np.zeros(0, np.int32),
+                valid_hi=np.zeros(0, np.int32),
+                track_index=np.zeros(0, np.int32),
+                n_tracks=0,
+                sample_size=sample_size,
+            )
+        return WindowPlan(
+            base=np.concatenate(bases),
+            valid_lo=np.concatenate(vlo),
+            valid_hi=np.concatenate(vhi),
+            track_index=np.concatenate(tidx),
+            n_tracks=track_base,
+            sample_size=sample_size,
+        )

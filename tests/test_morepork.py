@@ -1,0 +1,104 @@
+"""Morepork pipeline: spectrogram/sample grid vs numpy oracle + e2e with a
+tiny fixture model + span heuristics unit cases."""
+
+import json
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax.numpy as jnp
+
+from audio_analysis_tpu.pipeline import morepork as mp
+
+
+def _ref_stft_mag(y, n_fft, hop):
+    w = scipy.signal.get_window("hann", n_fft, fftbins=True)
+    ypad = np.pad(y, n_fft // 2)
+    n_frames = 1 + (len(ypad) - n_fft) // hop
+    frames = np.stack([ypad[i * hop : i * hop + n_fft] for i in range(n_frames)])
+    return np.abs(np.fft.rfft(frames * w, axis=-1)).T
+
+
+def _oracle_samples(frames, sr):
+    """Transcription of reference _load_sample + the sample loop
+    (src/identify_morepork.py:19-27, 144-167)."""
+    nfft = int(sr / 10)
+    npspec = _ref_stft_mag(frames, nfft, int(nfft / 2))[
+        int(mp.frequency_min / 10) : int(mp.frequency_max / 10)
+    ]
+    samples, start_times = [], []
+    for base in range(0, npspec.shape[1], mp.sample_slide_slices):
+        limit = base + mp.slices_per_sample
+        if limit > npspec.shape[1]:
+            limit = npspec.shape[1]
+        start = limit - mp.slices_per_sample
+        start_times.append(start / mp.slices_per_second)
+        sample = npspec[:, start:limit]
+        # amplitude_to_db(ref=max)
+        amin = 1e-5
+        ref = sample.max()
+        db = 20 * np.log10(np.maximum(amin, sample)) - 20 * np.log10(max(amin, ref))
+        db = np.maximum(db, db.max() - 80)
+        sample = db
+        if sample.min() != 0:
+            sample = sample / abs(sample.min()) + 1.0
+        if sample.shape[1] < 60:
+            sample = np.pad(sample, ((0, 0), (0, 60 - sample.shape[1])))
+        samples.append(sample.reshape(sample.shape + (1,)))
+    return np.array(samples), start_times
+
+
+def test_sample_grid_matches_oracle(rng):
+    sr = 48000
+    y = (0.05 * rng.randn(7 * sr)).astype(np.float32)
+    t = np.arange(len(y)) / sr
+    y += (0.4 * np.sin(2 * np.pi * 800 * t) * (t % 2 < 0.5)).astype(np.float32)
+
+    npspec = mp._spectrogram_program(jnp.asarray(y), sr=sr)
+    lows, lengths, start_times = mp._sample_grid(int(npspec.shape[1]))
+    got = np.asarray(mp._samples_program(npspec, jnp.asarray(lows), jnp.asarray(lengths)))
+
+    ref, ref_times = _oracle_samples(y, sr)
+    assert got.shape == ref.shape
+    assert start_times == ref_times
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_find_likely_span_cases():
+    # single isolated sample
+    assert mp._find_likely_span([80], [0.0], 0, 0) == (80, 0.0, 3.0)
+    # two consecutive: overlap span
+    lik, s, e = mp._find_likely_span([50, 70], [0.0, 1.0], 0, 1)
+    assert lik == 70 and s == 1.0 and e == 3.0
+    # three consecutive with middle max
+    lik, s, e = mp._find_likely_span([40, 90, 50], [0.0, 1.0, 2.0], 0, 2)
+    assert lik == 90 and s == 1.0 and e == 4.0
+    # many consecutive, interior max trims both ends
+    lik, s, e = mp._find_likely_span([10, 80, 90, 80, 10], [0, 1, 2, 3, 4], 0, 4)
+    assert lik == 90 and s == 1.0 and e == 6.0
+
+
+def test_morepork_e2e_with_fixture_model(tmp_path, rng):
+    tf = pytest.importorskip("tensorflow")
+    sr = 48000
+    # recording with an 800 Hz "call" burst in the 600-1200 band
+    y = (0.01 * rng.randn(10 * sr)).astype(np.float32)
+    t = np.arange(len(y)) / sr
+    m = (t >= 3.0) & (t < 4.0)
+    y[m] += (0.5 * np.sin(2 * np.pi * 800 * t[m])).astype(np.float32)
+
+    # fixture model: fires when band energy is high
+    d = tmp_path / "mp"
+    d.mkdir()
+    inp = tf.keras.Input((60, 60, 1))
+    x = tf.keras.layers.GlobalAveragePooling2D()(inp)
+    out = tf.keras.layers.Dense(1, activation="sigmoid")(x)
+    model = tf.keras.Model(inp, out)
+    model.save(str(d / "audioModel.keras"))
+    (d / "metadata.txt").write_text(json.dumps({"name": "morepork"}))
+
+    labels = mp.identify_morepork_frames(y, sr, [str(d)])
+    for entry in labels:
+        assert entry["freq_start"] == 600 and entry["freq_end"] == 1200
+        assert entry["predictions"][0]["species"] == ["morepork"]
+        assert entry["predictions"][0]["model"] == "morepork"
