@@ -215,18 +215,30 @@ def _track_means(per_window_probs, track_index, n_tracks):
     return sums[:n_tracks] / jnp.maximum(counts[:n_tracks], 1.0)[:, None]
 
 
-def classify(file, models, analyse_tracks, meta_data=None, rng=np.random):
+def classify(file, models, analyse_tracks, meta_data=None, rng=np.random, timer=None):
     """Reference-compatible entry: returns
     (tracks, length, signals, raw_length, bird_labels)."""
-    frames, sr = load_recording(file)
-    return classify_frames(frames, sr, models, analyse_tracks, meta_data, rng=rng)
+    from audio_analysis_tpu.utils.runtime import StageTimer
+
+    timer = timer or StageTimer()
+    with timer.stage("decode"):
+        frames, sr = load_recording(file)
+    return classify_frames(
+        frames, sr, models, analyse_tracks, meta_data, rng=rng, timer=timer
+    )
 
 
-def classify_frames(frames, sr, models, analyse_tracks, meta_data=None, rng=np.random):
+def classify_frames(
+    frames, sr, models, analyse_tracks, meta_data=None, rng=np.random, timer=None
+):
+    from audio_analysis_tpu.utils.runtime import StageTimer
+
+    timer = timer or StageTimer()
     raw_length = len(frames) / sr
     frames_dev = jnp.asarray(frames, dtype=jnp.float32)
     # fused end-scan + detection: one device round trip
-    length, signals = detect(frames_dev, sr)
+    with timer.stage("detect"):
+        length, signals = detect(frames_dev, sr)
 
     if analyse_tracks:
         if meta_data is None:
@@ -306,37 +318,38 @@ def classify_frames(frames, sr, models, analyse_tracks, meta_data=None, rng=np.r
             return [], length, [], raw_length, []
 
         models_only = [m for m, _ in predict_models]
-        if plan.filter_specs:
-            # slow path: per-track band-passed grids (rare configs)
-            grid = gather_windows(frames_dev, plan)
-            filtered = _apply_track_filters(frames_dev, plan, sr)
-            if filtered is not None:
-                grid = _overwrite_filtered_rows(grid, filtered, plan)
-            feats = features_for_config(grid, sr, cfg)
-            all_probs = []
-            for model, mcfg in predict_models:
-                x = feats
-                if cfg.is_efficientnet:
-                    x = jnp.repeat(x, 3, axis=-1)  # reference :539-540
-                all_probs.append(model(x))
-            probs = sum(all_probs) / len(all_probs)
-            track_probs = np.asarray(
-                _track_means(probs, plan.track_index, plan.n_tracks)
-            )
-        else:
-            n_tracks_b = _bucket(plan.n_tracks, 8)
-            prog = _fused_group_program(
-                models_only, cfg, sr, plan.sample_size, n_tracks_b
-            )
-            track_probs = np.asarray(
-                prog(
-                    frames_dev,
-                    jnp.asarray(plan.base),
-                    jnp.asarray(plan.valid_lo),
-                    jnp.asarray(plan.valid_hi),
-                    jnp.asarray(plan.track_index),
+        with timer.stage("infer"):
+            if plan.filter_specs:
+                # slow path: per-track band-passed grids (rare configs)
+                grid = gather_windows(frames_dev, plan)
+                filtered = _apply_track_filters(frames_dev, plan, sr)
+                if filtered is not None:
+                    grid = _overwrite_filtered_rows(grid, filtered, plan)
+                feats = features_for_config(grid, sr, cfg)
+                all_probs = []
+                for model, mcfg in predict_models:
+                    x = feats
+                    if cfg.is_efficientnet:
+                        x = jnp.repeat(x, 3, axis=-1)  # reference :539-540
+                    all_probs.append(model(x))
+                probs = sum(all_probs) / len(all_probs)
+                track_probs = np.asarray(
+                    _track_means(probs, plan.track_index, plan.n_tracks)
                 )
-            )[: plan.n_tracks]
+            else:
+                n_tracks_b = _bucket(plan.n_tracks, 8)
+                prog = _fused_group_program(
+                    models_only, cfg, sr, plan.sample_size, n_tracks_b
+                )
+                track_probs = np.asarray(
+                    prog(
+                        frames_dev,
+                        jnp.asarray(plan.base),
+                        jnp.asarray(plan.valid_lo),
+                        jnp.asarray(plan.valid_hi),
+                        jnp.asarray(plan.track_index),
+                    )
+                )[: plan.n_tracks]
 
         windows_per_track = np.bincount(plan.track_index, minlength=plan.n_tracks)
         apply_thresholds(tracks, track_probs, windows_per_track, cfg)

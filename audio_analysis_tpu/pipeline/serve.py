@@ -45,10 +45,14 @@ from audio_analysis_tpu.models.registry import load_classifier
 class BatchAnalyzer:
     """Warm serving handle: analyse lists of recordings efficiently."""
 
-    def __init__(self, models, sr=48000, bucket_seconds=60, rng=np.random):
+    def __init__(self, models, sr=48000, bucket_seconds=60, rng=np.random, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — recordings
+        shard across chips for detection and the window grid shards for
+        classification (XLA inserts the gather collectives)."""
         self.sr = int(sr)
         self.bucket = int(bucket_seconds * sr)
         self.rng = rng
+        self.mesh = mesh
         self.pre_models = []
         self.mean_models = []
         for model_file in models:
@@ -79,7 +83,14 @@ class BatchAnalyzer:
         for i, r in enumerate(recordings):
             stacked[i, : len(r)] = r
             n_valid[i] = len(r)
-        frames_dev = jnp.asarray(stacked)
+        if self.mesh is not None and B % self.mesh.shape["data"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            frames_dev = jax.device_put(
+                stacked, NamedSharding(self.mesh, P("data", None))
+            )
+        else:
+            frames_dev = jnp.asarray(stacked)
 
         detections = detect_batch(frames_dev, n_valid, sr)
 
@@ -109,6 +120,13 @@ class BatchAnalyzer:
 
         combined = self._combine_plans(plans, t_bucket)
         flat_frames = frames_dev.reshape(-1)
+        if self.mesh is not None:
+            # replicate PCM for the window gather (local gathers, no
+            # collective); the WINDOW axis shards instead — the only
+            # cross-device op is the psum XLA inserts for the track means.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            flat_frames = jax.device_put(flat_frames, NamedSharding(self.mesh, P()))
 
         track_offset = np.cumsum([0] + [len(t) for t in all_tracks])
         n_total_tracks = int(track_offset[-1])
@@ -132,13 +150,23 @@ class BatchAnalyzer:
                     sample_size=combined.sample_size,
                 )
             )
+            def put(a):
+                if (
+                    self.mesh is not None
+                    and len(a) % self.mesh.shape["data"] == 0
+                ):
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    return jax.device_put(a, NamedSharding(self.mesh, P("data")))
+                return jnp.asarray(a)
+
             track_probs = np.asarray(
                 prog(
                     flat_frames,
-                    jnp.asarray(padded.base),
-                    jnp.asarray(padded.valid_lo),
-                    jnp.asarray(padded.valid_hi),
-                    jnp.asarray(padded.track_index),
+                    put(padded.base),
+                    put(padded.valid_lo),
+                    put(padded.valid_hi),
+                    put(padded.track_index),
                 )
             )[:n_total_tracks]
             windows_per_track = np.bincount(

@@ -113,8 +113,66 @@ def test_batch_mixed_lengths(model_dir):
     assert out[1]["duration"] == pytest.approx(12.0)
 
 
-def test_batch_empty():
-    from audio_analysis_tpu.pipeline.serve import BatchAnalyzer as BA
+def test_sharded_group_program_matches(model_dir):
+    """The fused group program with a ('data',)-sharded window axis and
+    replicated PCM produces the same track means as unsharded (the psum XLA
+    inserts for the segment means is the only collective)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from audio_analysis_tpu.parallel.mesh import make_mesh
+    from audio_analysis_tpu.io.modelconfig import ModelConfig
+    from audio_analysis_tpu.models.registry import load_classifier
+    from audio_analysis_tpu.pipeline.classify import _fused_group_program
+    from audio_analysis_tpu.pipeline.samples import plan_windows, pad_plan_to_bucket
+    from audio_analysis_tpu.detect.signal import Signal
 
-    # no recordings -> no results, no device work
-    assert True  # construction covered elsewhere; nothing to analyse
+    mesh = make_mesh(n_devices=8, model_parallel=1)
+    cfg = ModelConfig.load(str(model_dir))
+    model = load_classifier(str(model_dir), cfg)
+    rec = _rec(7)
+    tracks = [Signal(1.0, 4.5, 2000, 5000), Signal(6.0, 9.0, 2500, 4000)]
+    plan = pad_plan_to_bucket(
+        plan_windows(len(rec), SR, tracks, 3.0, 1.5, rng=None), 64
+    )
+    prog = _fused_group_program([model], cfg, SR, plan.sample_size, 8)
+    import jax.numpy as jnp
+
+    frames = jnp.asarray(rec)
+    args_plain = (
+        frames,
+        jnp.asarray(plan.base),
+        jnp.asarray(plan.valid_lo),
+        jnp.asarray(plan.valid_hi),
+        jnp.asarray(plan.track_index),
+    )
+    base_out = np.asarray(prog(*args_plain))
+
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    args_shard = (jax.device_put(frames, rep),) + tuple(
+        jax.device_put(a, dat) for a in args_plain[1:]
+    )
+    shard_out = np.asarray(prog(*args_shard))
+    np.testing.assert_allclose(shard_out, base_out, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_batch_sharded_matches_unsharded(model_dir):
+    """Full mesh-sharded serving e2e (GSPMD compiles are slow on the CPU
+    backend, so this runs under -m slow)."""
+    from audio_analysis_tpu.parallel.mesh import make_mesh
+
+    recs = [_rec(s, seconds=6) for s in range(8)]
+    mesh = make_mesh(n_devices=8, model_parallel=1)
+    base = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=6, rng=None)
+    shard = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=6, rng=None, mesh=mesh)
+    a = base.analyse_recordings(recs)
+    b = shard.analyse_recordings(recs)
+    for ra, rb in zip(a, b):
+        assert ra["chirps"]["signals"] == rb["chirps"]["signals"]
+        la = [t["model_results"][0]["predictions"] for t in ra["species_identify"]]
+        lb = [t["model_results"][0]["predictions"] for t in rb["species_identify"]]
+        for pa, pb in zip(la, lb):
+            assert [p["label"] for p in pa] == [p["label"] for p in pb]
+            for x, y in zip(pa, pb):
+                assert abs(x["confidence"] - y["confidence"]) <= 1
