@@ -254,13 +254,10 @@ def _fused_detect_batch_program(frames, n_valid, *, sr, hop_length, n_fft):
     )(frames, n_valid)
 
 
-def detect_batch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096):
-    """[(length_seconds, signals), ...] for a [B, T] stack of recordings in
-    one device round trip. Accepts int16 PCM (half the upload bytes;
-    converted on device). CCL runs per recording on host threads (the C++
-    op releases the GIL via ctypes)."""
-    from concurrent.futures import ThreadPoolExecutor
-
+def detect_batch_dispatch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096):
+    """Queue the batched detection program; returns a handle of device
+    arrays without forcing a transfer (dispatch is async — the device works
+    while the host does something else)."""
     frames_batch = jnp.asarray(frames_batch)
     if frames_batch.dtype != jnp.int16:
         frames_batch = frames_batch.astype(jnp.float32)
@@ -268,17 +265,26 @@ def detect_batch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096):
     found, flat_sec, packed = _fused_detect_batch_program(
         frames_batch, n_valid, sr=sr, hop_length=hop_length, n_fft=n_fft
     )
+    return (found, flat_sec, packed, n_valid, frames_batch.shape, sr, hop_length, n_fft)
+
+
+def detect_batch_finish(handle):
+    """Transfer + per-recording CCL (host threads; the C++ op releases the
+    GIL via ctypes). Returns [(length_seconds, signals), ...]."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    found, flat_sec, packed, n_valid, shape, sr, hop_length, n_fft = handle
     found = np.asarray(found)
     flat_sec = np.asarray(flat_sec)
     packed = np.asarray(packed)
     n_valid_np = np.asarray(n_valid)
-    n_frames_total = num_frames(frames_batch.shape[-1], hop_length, n_fft)
+    n_frames_total = num_frames(shape[-1], hop_length, n_fft)
 
     def one(b):
         stats = connected_components_with_stats_packed(packed[b], n_frames_total)
         return _signals_from_stats(stats, sr, hop_length, n_fft)
 
-    B = frames_batch.shape[0]
+    B = shape[0]
     with ThreadPoolExecutor(max_workers=min(8, B)) as ex:
         all_signals = list(ex.map(one, range(B)))
     out = []
@@ -286,6 +292,15 @@ def detect_batch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096):
         length = int(flat_sec[b]) if found[b] else float(n_valid_np[b]) / sr
         out.append((length, all_signals[b]))
     return out
+
+
+def detect_batch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096):
+    """[(length_seconds, signals), ...] for a [B, T] stack of recordings in
+    one device round trip. Accepts int16 PCM (half the upload bytes;
+    converted on device)."""
+    return detect_batch_finish(
+        detect_batch_dispatch(frames_batch, n_valid, sr, hop_length, n_fft)
+    )
 
 
 def _chunk_flatness(frames, *, sr, hop_length):

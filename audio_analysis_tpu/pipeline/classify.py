@@ -284,13 +284,24 @@ def classify_frames(
         bird_labels.update(cfg.bird_labels)
 
         if cfg.name == "embeddings":
+            # embeddings models classify TF-Hub embedding vectors per track
+            # (reference: src/identify_tracks.py:498-499, 536-551); requires
+            # tensorflow_hub at runtime (pipeline/embeddings.py gates it)
             from audio_analysis_tpu.pipeline.embeddings import chirp_embeddings
 
             data = chirp_embeddings(frames, sr, tracks, cfg.segment_stride)
-            raise NotImplementedError(
-                "embeddings models require a hub classifier head; "
-                "see pipeline/embeddings.py"
+            flat = [np.asarray(e) for track_e in data for e in track_e]
+            seg = np.concatenate(
+                [np.full(len(track_e), ti, np.int32) for ti, track_e in enumerate(data)]
             )
+            if flat:
+                embs = jnp.asarray(np.stack(flat))
+                all_probs = [m(embs) for m, _ in predict_models]
+                probs = sum(all_probs) / len(all_probs)
+                track_probs = np.asarray(_track_means(probs, seg, len(tracks)))
+                counts = np.bincount(seg, minlength=len(tracks))
+                apply_thresholds(tracks, track_probs, counts, cfg)
+            continue
 
         if track_data is None:
             plan = plan_windows(

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from audio_analysis_tpu.io.modelconfig import ModelConfig, NON_BIRD
 from audio_analysis_tpu.detect.signal import Signal, MAX_FREQUENCY
 from audio_analysis_tpu.detect.signal import get_tracks_from_signals
-from audio_analysis_tpu.detect.signal_noise import detect_batch
+from audio_analysis_tpu.detect.signal_noise import (
+    detect_batch,
+    detect_batch_dispatch,
+    detect_batch_finish,
+)
 from audio_analysis_tpu.pipeline.samples import plan_windows, WindowPlan, pad_plan_to_bucket
 from audio_analysis_tpu.pipeline.classify import (
     _fused_group_program,
@@ -64,12 +68,32 @@ class BatchAnalyzer:
     # -- public -------------------------------------------------------------
 
     def analyse_recordings(self, recordings, sr=None):
-        """recordings: list of mono float32 numpy arrays at self.sr.
+        """recordings: list of mono float32/int16 numpy arrays at self.sr.
         Returns a list of result dicts (species_identify schema)."""
+        handle = self._dispatch(recordings, sr)
+        return self._finish(handle)
+
+    def analyse_stream(self, batches, sr=None):
+        """Pipelined serving: yields result lists per batch, dispatching the
+        next batch's upload + detection while the current batch's host work
+        (CCL, track merge, post) runs — JAX dispatch is async, so device and
+        host overlap with no extra machinery."""
+        prev = None
+        for batch in batches:
+            handle = self._dispatch(batch, sr)
+            if prev is not None:
+                yield self._finish(prev)
+            prev = handle
+        if prev is not None:
+            yield self._finish(prev)
+
+    # -- two-phase internals --------------------------------------------------
+
+    def _dispatch(self, recordings, sr=None):
         sr = int(sr or self.sr)
         B = len(recordings)
         if B == 0:
-            return []
+            return None
         t_bucket = max(
             self.bucket, max(-(-len(r) // self.sr) * self.sr for r in recordings)
         )
@@ -92,7 +116,14 @@ class BatchAnalyzer:
         else:
             frames_dev = jnp.asarray(stacked)
 
-        detections = detect_batch(frames_dev, n_valid, sr)
+        detect_handle = detect_batch_dispatch(frames_dev, n_valid, sr)
+        return (detect_handle, frames_dev, n_valid, t_bucket, B, sr)
+
+    def _finish(self, handle):
+        if handle is None:
+            return []
+        detect_handle, frames_dev, n_valid, t_bucket, B, sr = handle
+        detections = detect_batch_finish(detect_handle)
 
         per_rec_tracks = []
         all_tracks = []

@@ -139,10 +139,11 @@ def main():
 
     runs = 5
     t0 = time.perf_counter()
-    for _ in range(runs):
-        results = analyzer.analyse_recordings(recordings)
+    results = None
+    for results in analyzer.analyse_stream([recordings] * runs):
+        pass
     elapsed = time.perf_counter() - t0
-    assert len(results) == batch_size
+    assert results is not None and len(results) == batch_size
     value = seconds * runs / elapsed
 
     baseline = DEFAULT_CPU_BASELINE

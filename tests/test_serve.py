@@ -105,6 +105,32 @@ def test_batch_matches_single(model_dir):
                 assert abs(x["confidence"] - y["confidence"]) <= 1
 
 
+def test_stream_matches_batch(model_dir):
+    recs_a = [_rec(10), _rec(11)]
+    recs_b = [_rec(12)]
+    analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    streamed = list(analyzer.analyse_stream([recs_a, recs_b]))
+    direct = [analyzer.analyse_recordings(recs_a), analyzer.analyse_recordings(recs_b)]
+    assert len(streamed) == 2
+    for s_batch, d_batch in zip(streamed, direct):
+        for s, d in zip(s_batch, d_batch):
+            assert s["chirps"]["signals"] == d["chirps"]["signals"]
+            assert len(s["species_identify"]) == len(d["species_identify"])
+
+
+def test_batch_int16_matches_float(model_dir):
+    y = _rec(20)
+    y16 = np.clip(y * 32768.0, -32768, 32767).astype(np.int16)
+    yf = y16.astype(np.float32) / 32768.0  # exactly what the device computes
+    analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    a = analyzer.analyse_recordings([y16])
+    b = analyzer.analyse_recordings([yf])
+    assert a[0]["chirps"]["signals"] == b[0]["chirps"]["signals"]
+    ta = [t["model_results"][0]["predictions"] for t in a[0]["species_identify"]]
+    tb = [t["model_results"][0]["predictions"] for t in b[0]["species_identify"]]
+    assert ta == tb
+
+
 def test_batch_mixed_lengths(model_dir):
     recs = [_rec(3, seconds=6), _rec(4, seconds=12)]
     analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
