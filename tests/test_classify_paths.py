@@ -1,0 +1,127 @@
+"""classify() edge paths: multi-model ensemble mean, pre+main groups, the
+band-pass filter path, embeddings windowing, and short-circuit returns."""
+
+import json
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax.numpy as jnp
+
+from audio_analysis_tpu.pipeline.classify import classify_frames
+from audio_analysis_tpu.pipeline.embeddings import get_chirp_samples
+from audio_analysis_tpu.detect.signal import Signal
+
+SR = 48000
+LABELS = ["bird", "morepork", "human", "noise"]
+
+
+def _save_model(d, name, labels=LABELS, seed=0, extra_meta=None, n_mels=64):
+    d.mkdir(parents=True, exist_ok=True)
+    tf.keras.utils.set_random_seed(seed)
+    inp = tf.keras.Input((n_mels, 226, 1))
+    x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(len(labels), activation="softmax")(x)
+    tf.keras.Model(inp, out).save(str(d / "audioModel.keras"))
+    meta = {
+        "name": name,
+        "labels": labels,
+        "segment_length": 3,
+        "segment_stride": 1.5,
+        "hop_length": 640,
+        "n_mels": n_mels,
+        "break_freq": 1750,
+        "htk": True,
+        "threshold": 0.2,
+        "normalize": True,
+    }
+    meta.update(extra_meta or {})
+    (d / "metadata.txt").write_text(json.dumps(meta))
+    return d
+
+
+def _recording(seed=0, seconds=12):
+    rng = np.random.RandomState(seed)
+    t = np.arange(seconds * SR) / SR
+    y = 0.01 * rng.randn(len(t)).astype(np.float32)
+    for f0, t0, dur in [(3000, 2.0, 0.8), (2600, 7.0, 1.0)]:
+        m = (t >= t0) & (t < t0 + dur)
+        y[m] += (0.5 * np.sin(2 * np.pi * f0 * t[m])).astype(np.float32)
+    return y
+
+
+def test_two_model_ensemble_means(tmp_path):
+    """Two same-group models -> probabilities are the model mean
+    (reference: src/identify_tracks.py:543-551)."""
+    d1 = _save_model(tmp_path / "m1", "net_a", seed=1)
+    d2 = _save_model(tmp_path / "m2", "net_b", seed=2)
+    d1.mkdir(exist_ok=True)
+    rec = _recording()
+
+    tr_both, *_ = classify_frames(rec, SR, [str(d1), str(d2)], False, None, rng=None)
+    tr_a, *_ = classify_frames(rec, SR, [str(d1)], False, None, rng=None)
+    tr_b, *_ = classify_frames(rec, SR, [str(d2)], False, None, rng=None)
+    assert len(tr_both) == len(tr_a) == len(tr_b) >= 1
+
+    def conf_map(tracks):
+        return {
+            (i, p.what): p.confidence
+            for i, t in enumerate(tracks)
+            for p in t.results[0].predictions
+        }
+
+    both, a, b = conf_map(tr_both), conf_map(tr_a), conf_map(tr_b)
+    for key in both:
+        ca = a.get(key, None)
+        cb = b.get(key, None)
+        if ca is not None and cb is not None:
+            assert abs(both[key] - (ca + cb) / 2) <= 1  # rounded means
+
+
+def test_pre_and_main_groups(tmp_path):
+    main = _save_model(tmp_path / "main", "mainnet", seed=3)
+    pre = _save_model(
+        tmp_path / "pre", "prenet", labels=["bird", "human", "noise"], seed=4,
+        extra_meta={"pre_model": True},
+    )
+    rec = _recording(1)
+    tracks, *_ = classify_frames(rec, SR, [str(main), str(pre)], False, None, rng=None)
+    assert len(tracks) >= 1
+    # each track carries a result from BOTH groups
+    models_seen = {r.model for r in tracks[0].results}
+    assert models_seen == {"mainnet", "prenet"}
+    pre_flags = {r.model: r.pre_model for r in tracks[0].results}
+    assert pre_flags["prenet"] is True and pre_flags["mainnet"] is False
+
+
+def test_filter_below_bandpass_path(tmp_path):
+    """filter_below triggers the per-track Butterworth path for low tracks
+    (reference: src/identify_tracks.py:156-161); pipeline still completes
+    and produces results."""
+    d = _save_model(
+        tmp_path / "m", "filternet", seed=5, extra_meta={"filter_below": 20000}
+    )
+    rec = _recording(2)
+    tracks, *_ = classify_frames(rec, SR, [str(d)], False, None, rng=None)
+    assert len(tracks) >= 1
+    assert all(len(t.results) == 1 for t in tracks)
+
+
+def test_analyse_tracks_requires_meta(tmp_path):
+    d = _save_model(tmp_path / "m", "n", seed=6)
+    assert classify_frames(_recording(), SR, [str(d)], True, None, rng=None) is None
+
+
+def test_get_chirp_samples_windows():
+    rec = np.arange(32000 * 12, dtype=np.float32)
+    tracks = [Signal(1.0, 7.0, 100, 200)]
+    samples = get_chirp_samples(rec, tracks, sr=32000, stride=5, length=5)
+    assert len(samples) == 1
+    ws = samples[0]
+    # windows at 1s and 6s (5s stride), 5s long; loop breaks when end/sr > t.end
+    assert len(ws) == 2
+    assert ws[0][0] == 32000.0 and len(ws[0]) == 5 * 32000
+    # second window starts one 5 s stride later
+    assert ws[1][0] == 6 * 32000 and len(ws[1]) == 5 * 32000
