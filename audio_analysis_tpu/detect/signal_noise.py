@@ -180,16 +180,19 @@ _signal_mask_program = partial(jax.jit, static_argnames=("sr", "hop_length", "n_
 
 
 def _pack_bits(m: jnp.ndarray) -> jnp.ndarray:
-    """Pack a binary [R, C] mask to uint8 [R, ceil(C/8)] (np.unpackbits
-    layout, MSB first). Host transfers over the TPU tunnel run at a few
-    MB/s, so shipping the raw float mask (~84 MB for 60 s) costs tens of
-    seconds; packed it is ~2.6 MB."""
+    """Pack a binary [R, C] mask into int32 words [R, ceil(C/32)], MSB-first.
+
+    Shipping the raw float mask (~84 MB per 60 s recording) over the tunnel
+    costs seconds; packed it is ~2.6 MB — and int32 transfers measure ~2x
+    faster than the same bytes as uint8 on this backend. Disjoint-bit sums
+    equal OR, so integer shifts+sum assemble the words exactly (the sign bit
+    included: jnp's int32 left-shift wraps to the right bit pattern)."""
     r, c = m.shape
-    c8 = -(-c // 8) * 8
-    mp = jnp.pad(m, ((0, 0), (0, c8 - c))).reshape(r, c8 // 8, 8)
-    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
-    packed = jnp.einsum("rcb,b->rc", mp, weights)
-    return packed.astype(jnp.uint8)
+    c32 = -(-c // 32) * 32
+    mp = jnp.pad(m, ((0, 0), (0, c32 - c))).astype(jnp.int32)
+    mp = mp.reshape(r, c32 // 32, 32)
+    shifts = jnp.asarray(31 - np.arange(32), jnp.int32)
+    return jnp.sum(jnp.left_shift(mp, shifts), axis=-1, dtype=jnp.int32)
 
 
 def signal_noise(frames, sr, hop_length=281, n_valid_samples=None, n_fft=4096):
@@ -206,8 +209,8 @@ def signal_noise(frames, sr, hop_length=281, n_valid_samples=None, n_fft=4096):
         frames, jnp.int32(n_valid_samples), sr=sr, hop_length=hop_length, n_fft=n_fft
     )
     n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
-    mask_np = np.unpackbits(np.asarray(packed), axis=1)[:, :n_frames_total] > 0
-    return _signals_from_mask(mask_np, sr, hop_length, n_fft)
+    stats = connected_components_with_stats_packed(np.asarray(packed), n_frames_total)
+    return _signals_from_stats(stats, sr, hop_length, n_fft)
 
 
 def _fused_detect_core(frames, n_valid, *, sr, hop_length, n_fft):

@@ -122,9 +122,16 @@ def connected_components_with_stats(mask: np.ndarray) -> np.ndarray:
 
 
 def connected_components_with_stats_packed(packed: np.ndarray, width: int) -> np.ndarray:
-    """Same, over a bit-packed mask (np.packbits layout, MSB first):
-    consumes the device's packed detection mask directly, skipping a ~200 ms
-    host unpack per 60 s recording."""
+    """Same, over a bit-packed mask: consumes the device's packed detection
+    mask directly, skipping a ~200 ms host unpack per 60 s recording.
+
+    Accepts uint8 bytes (np.packbits layout) or int32 words (MSB-first; the
+    device packs int32 because those transfer ~2x faster on this backend) —
+    int32 words big-endian-viewed ARE the MSB-first byte stream."""
+    packed = np.asarray(packed)
+    if packed.dtype != np.uint8:
+        packed = np.ascontiguousarray(packed).astype(">i4")
+        packed = np.ascontiguousarray(packed).view(np.uint8).reshape(packed.shape[0], -1)
     packed = np.ascontiguousarray(packed, dtype=np.uint8)
     h, w_bytes = packed.shape
     lib = load_ccl_library()

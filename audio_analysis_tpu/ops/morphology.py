@@ -13,18 +13,30 @@ import jax
 import jax.numpy as jnp
 
 
-def _reduce2d(x: jnp.ndarray, kh: int, kw: int, is_max: bool) -> jnp.ndarray:
-    pad = [(0, 0)] * (x.ndim - 2) + [
-        (kh // 2, kh - 1 - kh // 2),
-        (kw // 2, kw - 1 - kw // 2),
-    ]
-    window = (1,) * (x.ndim - 2) + (kh, kw)
+def _reduce1axis(x: jnp.ndarray, k: int, axis: int, is_max: bool) -> jnp.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (k // 2, k - 1 - k // 2)
+    window = [1] * x.ndim
+    window[axis] = k
     strides = (1,) * x.ndim
     if is_max:
         return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, window, strides, pad
+            x, -jnp.inf, jax.lax.max, tuple(window), strides, pad
         )
-    return jax.lax.reduce_window(x, jnp.inf, jax.lax.min, window, strides, pad)
+    return jax.lax.reduce_window(x, jnp.inf, jax.lax.min, tuple(window), strides, pad)
+
+
+def _reduce2d(x: jnp.ndarray, kh: int, kw: int, is_max: bool) -> jnp.ndarray:
+    """Separable rectangular morphology: max/min over a (kh, kw) all-ones
+    kernel == rows pass then cols pass (exact; kh+kw instead of kh*kw work —
+    the reference's (10, 42) dilate drops from 420 to 52 ops/pixel)."""
+    if kh > 1:
+        x = _reduce1axis(x, kh, x.ndim - 2, is_max)
+    if kw > 1:
+        x = _reduce1axis(x, kw, x.ndim - 1, is_max)
+    if kh == 1 and kw == 1:
+        return x
+    return x
 
 
 def dilate(x: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:

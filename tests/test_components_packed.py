@@ -38,6 +38,19 @@ def test_packed_all_ones_row_boundary():
     np.testing.assert_array_equal(got, [[0, 0, 24, 3, 72]])
 
 
+def test_packed_int32_words_match_uint8(rng):
+    """int32-word packing (device layout) decodes identically."""
+    import jax.numpy as jnp
+    from audio_analysis_tpu.detect.signal_noise import _pack_bits
+
+    m = (rng.rand(50, 100) < 0.4).astype(np.uint8)
+    words = np.asarray(_pack_bits(jnp.asarray(m.astype(np.float32))))
+    assert words.dtype == np.int32
+    got = sorted(connected_components_with_stats_packed(words, 100).tolist())
+    ref = sorted(connected_components_with_stats(m).tolist())
+    assert got == ref
+
+
 def test_packed_pad_bits_ignored():
     # width 61: last 3 bits of each row are padding; a run touching the edge
     # must clamp to the logical width
