@@ -313,7 +313,12 @@ def _chunk_flatness(frames, *, sr, hop_length):
     spec = stft_magnitude(frames, n_fft, hop_length)
     mel = mel_spec(spec, sr, n_fft, 120, 50, 11000, 1750, power=1)
     chunk = sr // hop_length
-    n_chunks = max(mel.shape[1] // chunk, 1)
+    n_chunks = mel.shape[1] // chunk
+    if n_chunks == 0:
+        # recording shorter than one chunk: the reference's walk never runs
+        # (while end < n_frames); emit one never-"checkable" sentinel chunk
+        # (mx != mn so it can't read as flat either)
+        return jnp.zeros(1, mel.dtype), jnp.ones(1, mel.dtype)
     usable = mel[:, : n_chunks * chunk].reshape(mel.shape[0], n_chunks, chunk)
     return jnp.max(usable, axis=(0, 2)), jnp.min(usable, axis=(0, 2))
 

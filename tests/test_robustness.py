@@ -1,0 +1,89 @@
+"""Edge-input robustness: silence, very short recordings, batch CLI."""
+
+import json
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from audio_analysis_tpu.io.audio import write_wav
+from audio_analysis_tpu.cli.analyse import run as cli_run
+from audio_analysis_tpu.cli.batch import run as batch_run
+
+SR = 48000
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("robustmodel")
+    inp = tf.keras.Input((32, 226, 1))
+    x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(3, activation="softmax")(x)
+    tf.keras.Model(inp, out).save(str(d / "audioModel.keras"))
+    (d / "metadata.txt").write_text(
+        json.dumps(
+            {
+                "name": "robustnet",
+                "labels": ["bird", "human", "noise"],
+                "n_mels": 32,
+                "hop_length": 640,
+                "htk": True,
+                "threshold": 0.2,
+            }
+        )
+    )
+    return d
+
+
+def test_silence_produces_empty_tracks(model_dir, tmp_path, capsys):
+    p = tmp_path / "silence.wav"
+    write_wav(p, np.zeros(10 * SR, np.float32), SR)
+    cli_run(["-o", str(p), "--bird-model", str(model_dir), "--seed", "0"])
+    parsed = json.loads(capsys.readouterr().out)
+    assert parsed["species_identify"] == []
+    # silence: the end-scan finds a flat first chunk -> length 0
+    assert parsed["chirps"]["chirps"] == 0
+    assert json.dumps(parsed)  # schema JSON-serialisable, no NaN leakage
+
+
+def test_very_short_recording(model_dir, tmp_path, capsys):
+    rng = np.random.RandomState(0)
+    p = tmp_path / "short.wav"
+    y = (0.1 * rng.randn(int(0.9 * SR))).astype(np.float32)
+    write_wav(p, y, SR)
+    cli_run(["-o", str(p), "--bird-model", str(model_dir), "--seed", "0"])
+    parsed = json.loads(capsys.readouterr().out)
+    assert parsed["duration"] == pytest.approx(0.9, abs=0.05)
+
+
+def test_batch_cli(model_dir, tmp_path, capsys):
+    rng = np.random.RandomState(1)
+    files = []
+    for i in range(3):
+        t = np.arange(8 * SR) / SR
+        y = (0.01 * rng.randn(len(t))).astype(np.float32)
+        m = (t > 2) & (t < 3)
+        phase = 2 * np.pi * (2800 * t[m] + 300 * (t[m] - 2) ** 2)
+        y[m] += (0.5 * np.sin(phase)).astype(np.float32)
+        p = tmp_path / f"r{i}.wav"
+        write_wav(p, y, SR)
+        files.append(str(p))
+
+    results = batch_run(["-o", "--bird-model", str(model_dir), "--batch-size", "2", "--seed", "0", *files])
+    parsed = json.loads(capsys.readouterr().out)
+    assert len(parsed) == 3
+    assert [r["file"] for r in parsed] == files
+    for r in parsed:
+        assert "species_identify" in r["analysis"]
+        assert len(r["analysis"]["species_identify"]) >= 1
+
+
+def test_batch_cli_sidecars(model_dir, tmp_path):
+    rng = np.random.RandomState(2)
+    y = (0.05 * rng.randn(6 * SR)).astype(np.float32)
+    p = tmp_path / "s.wav"
+    write_wav(p, y, SR)
+    batch_run(["--bird-model", str(model_dir), str(p)])
+    side = json.loads((tmp_path / "s.txt").read_text())
+    assert "analysis_result" in side
