@@ -56,10 +56,14 @@ def _load_classifier_uncached(model_path, cfg: ModelConfig):
         from audio_analysis_tpu.io.checkpoint import load_checkpoint_params
 
         params = load_checkpoint_params(model_path)
+        raw = cfg.raw or {}
         net_cfg = TuiNetConfig(
-            num_classes=len(cfg.labels) or int((cfg.raw or {}).get("num_classes", 8)),
+            num_classes=len(cfg.labels) or int(raw.get("num_classes", 8)),
             n_mels=int(cfg.n_mels),
-            channels=tuple((cfg.raw or {}).get("net_channels", (64, 128, 256))),
+            channels=tuple(raw.get("net_channels", (64, 128, 256))),
+            stem_channels=int(raw.get("net_stem_channels", 32)),
+            dense_units=int(raw.get("net_dense_units", 256)),
+            dtype=raw.get("net_dtype", "bfloat16"),
         )
         import jax.nn
 

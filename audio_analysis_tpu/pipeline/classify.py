@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from audio_analysis_tpu.io.audio import load_recording
 from audio_analysis_tpu.io.modelconfig import ModelConfig, NON_BIRD
 from audio_analysis_tpu.detect.signal import Signal, ModelResult, Prediction, MAX_FREQUENCY
-from audio_analysis_tpu.detect.signal_noise import signal_noise, get_end, detect
+from audio_analysis_tpu.detect.signal_noise import detect
 from audio_analysis_tpu.detect.signal import get_tracks_from_signals
 from audio_analysis_tpu.pipeline.samples import (
     plan_windows,

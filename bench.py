@@ -122,7 +122,9 @@ def main():
 
     from audio_analysis_tpu.pipeline.serve import BatchAnalyzer
 
-    batch_size = 8
+    import os
+
+    batch_size = int(os.environ.get("AAT_BENCH_BATCH", "8"))
     # int16 PCM: what field recorders produce and what the decode path hands
     # over; uploads at half the bytes and converts on device.
     recordings = [
@@ -155,7 +157,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "full-pipeline audio throughput, batch of 8x60s recordings (detect + 2-model ensemble + per-track JSON)",
+                "metric": f"full-pipeline audio throughput, batch of {batch_size}x60s recordings (detect + 2-model ensemble + per-track JSON)",
                 "value": round(value, 2),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(vs, 2),
