@@ -10,7 +10,12 @@ from audio_analysis_tpu.detect.signal import (
     get_tracks_from_signals,
     get_master_tag,
 )
-from audio_analysis_tpu.detect.signal_noise import signal_noise, get_end
+from audio_analysis_tpu.detect.signal_noise import (
+    signal_noise,
+    get_end,
+    detect,
+    detect_batch,
+)
 
 __all__ = [
     "Signal",
@@ -23,4 +28,6 @@ __all__ = [
     "get_master_tag",
     "signal_noise",
     "get_end",
+    "detect",
+    "detect_batch",
 ]

@@ -139,7 +139,7 @@ def main():
     analyzer.analyse_recordings(recordings)
     analyzer.analyse_recordings(recordings)
 
-    runs = 5
+    runs = 10  # enough streamed batches to reach pipelined steady state
     t0 = time.perf_counter()
     results = None
     for results in analyzer.analyse_stream([recordings] * runs):
