@@ -1,0 +1,284 @@
+"""Differential fuzzing of parity-critical host logic.
+
+Each oracle below is a direct transcription of the reference's pure-Python
+function (for verification only); the framework's ports must agree on
+randomly generated inputs — catching any transcription drift the unit tests
+might miss. (Reference: src/analyse.py:18-126, src/identify_tracks.py:725-842.)
+"""
+
+import math
+import numpy as np
+import pytest
+
+from audio_analysis_tpu.detect.signal import (
+    Signal,
+    merge_signals,
+    get_tracks_from_signals,
+    segment_overlap,
+)
+from audio_analysis_tpu.pipeline.cacophony import calc_cacophony_index, get_chirps
+
+
+# ---------------------------------------------------------------------------
+# oracle: calc_cacophony_index (src/analyse.py:18-80)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_cacophony(tracks, length):
+    bird_percent = 0
+    bird_until = -1
+    period_length = 20
+    bins = math.ceil(length / period_length)
+    last_bin_size = length - period_length * (bins - 1)
+    last_bin = None
+    if bins > 1 and last_bin_size < 2:
+        bins -= 1
+        last_bin = length
+    percents = []
+    for i in range(bins):
+        percents.append(
+            {
+                "begin_s": i * period_length,
+                "end_s": min(length, (i + 1) * period_length),
+                "index_percent": 0,
+            }
+        )
+    if last_bin is not None:
+        percents[-1]["end_s"] = last_bin
+    period = 0
+    period_length = 20
+    if len(percents) > 0:
+        period_length = percents[period]["end_s"] - percents[period]["begin_s"]
+    period_end = period_length
+    for track in tracks:
+        if bird_until >= track.start and bird_until < track.end:
+            new_span = (bird_until, track.end)
+        elif bird_until < track.end:
+            new_span = (track.start, track.end)
+        else:
+            continue
+        if new_span[1] > period_end:
+            while new_span[1] > period_end:
+                if new_span[0] < period_end:
+                    bird_percent += period_end - new_span[0]
+                    new_span = (period_end, new_span[1])
+                percents[period]["index_percent"] = round(
+                    100 * bird_percent / period_length, 1
+                )
+                bird_percent = 0
+                period += 1
+                period = min(period, bins - 1)
+                period_length = percents[period]["end_s"] - percents[period]["begin_s"]
+                period_end += period_length
+        bird_percent += new_span[1] - new_span[0]
+        bird_until = new_span[1]
+        period = min(len(percents) - 1, int(bird_until / period_length))
+        period = min(period, bins - 1)
+        period_length = percents[period]["end_s"] - percents[period]["begin_s"]
+    if period < len(percents):
+        percents[period]["index_percent"] = round(100 * bird_percent / period_length, 1)
+    return percents
+
+
+def _tagged_tracks(rng, length, n):
+    class _Tag:
+        what = "bird"
+
+    tracks = []
+    t = 0.0
+    for _ in range(n):
+        start = t + rng.rand() * 5
+        end = start + 0.3 + rng.rand() * 8
+        if end > length:
+            break
+        s = Signal(start, end, 1000, 4000)
+        s.master_tag = _Tag()
+        tracks.append(s)
+        t = start + rng.rand() * 4
+    return tracks
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_cacophony_index(seed):
+    rng = np.random.RandomState(seed)
+    length = float(rng.choice([20, 35, 59.9, 60, 61, 100, 121]))
+    tracks = _tagged_tracks(rng, length, rng.randint(0, 12))
+    got, _ = calc_cacophony_index(list(tracks), length)
+    ref = _oracle_cacophony(list(tracks), length)
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# oracle: get_chirps (src/analyse.py:92-126)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_chirps(tracks, bird_labels, signals):
+    sorted_tracks = []
+    for t in tracks:
+        if t.master_tag is not None and t.master_tag.what in bird_labels:
+            sorted_tracks.append(t)
+    sorted_tracks = sorted(sorted_tracks, key=lambda track: track.start)
+    last_end = 0
+    chirps = 0
+    for t in sorted_tracks:
+        start = t.start
+        end = t.end
+        if start < last_end:
+            start = last_end
+            end = max(start, end)
+        i = 0
+        while i < len(signals):
+            s = signals[i]
+            if (
+                segment_overlap((start, end), (s.start, s.end)) > 0
+                and t.mel_freq_overlap(s) > -200
+            ):
+                chirps += 1
+                del signals[i]
+            elif s.start > end:
+                break
+            else:
+                i += 1
+        last_end = t.end
+    return chirps
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_chirps(seed):
+    rng = np.random.RandomState(seed)
+    tracks = _tagged_tracks(rng, 60.0, rng.randint(0, 8))
+    signals = []
+    for _ in range(rng.randint(0, 25)):
+        st = rng.rand() * 60
+        f0 = rng.randint(100, 8000)
+        signals.append(Signal(st, st + 0.1 + rng.rand(), f0, f0 + rng.randint(50, 3000)))
+    signals.sort(key=lambda s: s.start)
+    got = get_chirps(list(tracks), ["bird"], [s.copy() for s in signals])
+    ref = _oracle_chirps(list(tracks), ["bird"], [s.copy() for s in signals])
+    assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# oracle: merge_signals / get_tracks_from_signals
+# (src/identify_tracks.py:725-842)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_merge_signals(signals):
+    to_delete = []
+    something_merged = False
+    signals = sorted(signals, key=lambda s: s.mel_freq_end, reverse=True)
+    signals = sorted(signals, key=lambda s: s.start)
+    for s in signals:
+        if s in to_delete:
+            continue
+        merged = False
+        u = None
+        for u in signals:
+            if u in to_delete:
+                continue
+            if u is s:
+                continue
+            in_freq = u.mel_freq_end < 1500 and s.mel_freq_end < 1500
+            in_freq = in_freq or (u.mel_freq_end > 1500 and s.mel_freq_end > 1500)
+            if not in_freq:
+                continue
+            overlap = s.time_overlap(u)
+            if s.mel_freq_start > 1000 and u.mel_freq_start > 1000:
+                freq_overlap_time = 0.5
+            else:
+                freq_overlap_time = 0.75
+            if s.start > u.end:
+                time_diff = s.start - u.end
+            else:
+                time_diff = u.start - s.end
+            mel_overlap = s.mel_freq_overlap(u)
+            if overlap > u.length * 0.75 and mel_overlap > -20:
+                s.merge(u)
+                merged = True
+                break
+            elif overlap > 0 and mel_overlap > u.mel_freq_range * freq_overlap_time:
+                s.merge(u)
+                merged = True
+                break
+            elif mel_overlap > u.mel_freq_range * freq_overlap_time and time_diff <= 2:
+                if u.mel_freq_end > s.mel_freq_range:
+                    range_overlap = s.mel_freq_range / u.mel_freq_range
+                else:
+                    range_overlap = u.mel_freq_range / s.mel_freq_range
+                if range_overlap < 0.75:
+                    continue
+                s.merge(u)
+                merged = True
+                break
+        if merged:
+            something_merged = True
+            to_delete.append(u)
+    for s in to_delete:
+        signals.remove(s)
+    return signals, something_merged
+
+
+def _oracle_tracks(signals, end):
+    merged = True
+    min_mel_range = 50
+    while merged:
+        signals, merged = _oracle_merge_signals(signals)
+    to_delete = []
+    min_length = 0.35
+    min_track_length = 0.7
+    for s in signals:
+        if s in to_delete:
+            continue
+        if s.length < min_length:
+            to_delete.append(s)
+            continue
+        s.enlarge(1.4, min_track_length=min_track_length)
+        s.end = min(end, s.end)
+        for s2 in signals:
+            if s2 in to_delete:
+                continue
+            if s2 is s:
+                continue
+            overlap = s.time_overlap(s2)
+            min_length = min(s.length, s2.length)
+            if overlap > 0.7 * min_length:
+                s.merge(s2)
+                to_delete.append(s2)
+    for s in to_delete:
+        signals.remove(s)
+    to_delete = []
+    for s in signals:
+        if s.mel_freq_range < min_mel_range:
+            to_delete.append(s)
+    for s in to_delete:
+        signals.remove(s)
+    return signals
+
+
+def _rand_signals(rng, n):
+    out = []
+    for _ in range(n):
+        st = rng.rand() * 50
+        f0 = rng.randint(50, 9000)
+        out.append(
+            Signal(st, st + 0.05 + rng.rand() * 3, f0, f0 + rng.randint(20, 4000))
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_track_merging(seed):
+    rng = np.random.RandomState(seed)
+    sigs = _rand_signals(rng, rng.randint(0, 15))
+    got = get_tracks_from_signals([s.copy() for s in sigs], 60.0)
+    ref = _oracle_tracks([s.copy() for s in sigs], 60.0)
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        assert (a.start, a.end, a.freq_start, a.freq_end) == (
+            b.start,
+            b.end,
+            b.freq_start,
+            b.freq_end,
+        )
