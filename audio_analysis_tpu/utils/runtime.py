@@ -24,6 +24,11 @@ def enable_compilation_cache():
     flag = os.environ.get("AAT_COMPILATION_CACHE", "1").lower()
     if flag in ("0", "off", "false"):
         return
+    # The cache exists for slow TPU compiles; on CPU it stores
+    # machine-feature-specific AOT results that can SIGILL when loaded on a
+    # different host profile — skip it when CPU is requested.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return
     cache_dir = os.environ.get(
         "AAT_CACHE_DIR", str(Path.home() / ".cache" / "audio_analysis_tpu" / "xla")
     )

@@ -13,6 +13,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+# CPU AOT cache entries are machine-feature-specific; keep tests hermetic
+os.environ["AAT_COMPILATION_CACHE"] = "0"
 
 import jax
 
