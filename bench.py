@@ -43,12 +43,15 @@ def build_fixture_models(tmp: Path):
         ("bird-model", labels_main, False),
         ("pre-model", labels_pre, True),
     ]
+    import zlib
+
     dirs = []
     for name, labels, pre in specs:
         d = tmp / name
         if not (d / "weights.npz").exists():
             cfg = TuiNetConfig(num_classes=len(labels), n_mels=160)
-            params = init_params(jax.random.PRNGKey(hash(name) % 2**31), cfg)
+            # stable digest, not hash(): PYTHONHASHSEED randomises str hashes
+            params = init_params(jax.random.PRNGKey(zlib.crc32(name.encode())), cfg)
             save_checkpoint(
                 d,
                 params,

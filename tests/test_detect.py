@@ -110,6 +110,23 @@ def test_signal_noise_padded_bucket_invariance():
     assert len(padded) == len(ref)
 
 
+def test_masked_median_fast_exact(rng):
+    """Rank-selection median equals np.median exactly (odd/even valid counts,
+    +inf padding, both axes)."""
+    import jax.numpy as jnp
+    from audio_analysis_tpu.detect.signal_noise import _masked_median_fast
+
+    for n_valid, total in [(101, 128), (100, 128), (7, 7), (2049, 2049)]:
+        x = np.abs(rng.randn(19, total)).astype(np.float32)
+        x[:, n_valid:] = np.inf
+        got = np.asarray(_masked_median_fast(jnp.asarray(x), n_valid, axis=1))
+        ref = np.median(x[:, :n_valid], axis=1, keepdims=True)
+        np.testing.assert_array_equal(got, ref)
+    x = np.abs(rng.randn(257, 57)).astype(np.float32)
+    got = np.asarray(_masked_median_fast(jnp.asarray(x), 257, axis=0))
+    np.testing.assert_array_equal(got, np.median(x, axis=0, keepdims=True))
+
+
 def test_get_end_detects_flat_tail():
     y = _chirpy_recording(seconds=4)
     full = np.concatenate([y, np.zeros(4 * SR, np.float32)])

@@ -131,6 +131,44 @@ def test_batch_int16_matches_float(model_dir):
     assert ta == tb
 
 
+def test_batch_filter_below_matches_single(tmp_path):
+    """Batch serving must apply the per-track band-pass exactly like the
+    single-recording path (filter_below configs)."""
+    d = tmp_path / "fm"
+    d.mkdir()
+    inp = tf.keras.Input((64, 226, 1))
+    x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(len(LABELS), activation="softmax")(x)
+    tf.keras.Model(inp, out).save(str(d / "audioModel.keras"))
+    (d / "metadata.txt").write_text(
+        json.dumps(
+            {
+                "name": "filterserve",
+                "labels": LABELS,
+                "n_mels": 64,
+                "hop_length": 640,
+                "htk": True,
+                "threshold": 0.2,
+                "normalize": True,
+                "filter_below": 20000,
+            }
+        )
+    )
+    recs = [_rec(30), _rec(31)]
+    analyzer = BatchAnalyzer([str(d)], sr=SR, bucket_seconds=12, rng=None)
+    batch = analyzer.analyse_recordings(recs)
+    for rec, got in zip(recs, batch):
+        ref = _single_pipeline_result(rec, d)
+        assert len(got["species_identify"]) == len(ref["species_identify"])
+        for a, b in zip(got["species_identify"], ref["species_identify"]):
+            pa = a["model_results"][0]["predictions"]
+            pb = b["model_results"][0]["predictions"]
+            assert [p["label"] for p in pa] == [p["label"] for p in pb]
+            for x, y in zip(pa, pb):
+                assert abs(x["confidence"] - y["confidence"]) <= 1
+
+
 def test_batch_mixed_lengths(model_dir):
     recs = [_rec(3, seconds=6), _rec(4, seconds=12)]
     analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
