@@ -1,6 +1,8 @@
 """Batch serving: BatchAnalyzer results match the single-recording pipeline."""
 
 import json
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -180,63 +182,112 @@ def test_batch_mixed_lengths(model_dir):
 def test_sharded_group_program_matches(model_dir):
     """The fused group program with a ('data',)-sharded window axis and
     replicated PCM produces the same track means as unsharded (the psum XLA
-    inserts for the segment means is the only collective)."""
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from audio_analysis_tpu.parallel.mesh import make_mesh
-    from audio_analysis_tpu.io.modelconfig import ModelConfig
-    from audio_analysis_tpu.models.registry import load_classifier
-    from audio_analysis_tpu.pipeline.classify import _fused_group_program
-    from audio_analysis_tpu.pipeline.samples import plan_windows, pad_plan_to_bucket
-    from audio_analysis_tpu.detect.signal import Signal
+    inserts for the segment means is the only collective).
 
-    mesh = make_mesh(n_devices=8, model_parallel=1)
-    cfg = ModelConfig.load(str(model_dir))
-    model = load_classifier(str(model_dir), cfg)
-    rec = _rec(7)
-    tracks = [Signal(1.0, 4.5, 2000, 5000), Signal(6.0, 9.0, 2500, 4000)]
-    plan = pad_plan_to_bucket(
-        plan_windows(len(rec), SR, tracks, 3.0, 1.5, rng=None), 64
-    )
-    prog = _fused_group_program([model], cfg, SR, plan.sample_size, 8)
-    import jax.numpy as jnp
+    Runs in a fresh interpreter: the 8-device CPU SPMD executable flakily
+    aborts when launched late in a long suite process (XLA runtime state),
+    while the logic itself is sound — isolation keeps the suite stable.
+    """
+    import subprocess
+    import sys
 
-    frames = jnp.asarray(rec)
-    args_plain = (
-        frames,
-        jnp.asarray(plan.base),
-        jnp.asarray(plan.valid_lo),
-        jnp.asarray(plan.valid_hi),
-        jnp.asarray(plan.track_index),
-    )
-    base_out = np.asarray(prog(*args_plain))
+    script = f"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["AAT_COMPILATION_CACHE"] = "0"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from audio_analysis_tpu.parallel.mesh import make_mesh
+from audio_analysis_tpu.io.modelconfig import ModelConfig
+from audio_analysis_tpu.models.registry import load_classifier
+from audio_analysis_tpu.pipeline.classify import _fused_group_program
+from audio_analysis_tpu.pipeline.samples import plan_windows, pad_plan_to_bucket
+from audio_analysis_tpu.detect.signal import Signal
 
-    rep = NamedSharding(mesh, P())
-    dat = NamedSharding(mesh, P("data"))
-    args_shard = (jax.device_put(frames, rep),) + tuple(
-        jax.device_put(a, dat) for a in args_plain[1:]
+SR = {SR}
+rng = np.random.RandomState(7)
+t = np.arange(12 * SR) / SR
+rec = (0.01 * rng.randn(len(t))).astype(np.float32)
+mesh = make_mesh(n_devices=8, model_parallel=1)
+cfg = ModelConfig.load({str(model_dir)!r})
+model = load_classifier({str(model_dir)!r}, cfg)
+tracks = [Signal(1.0, 4.5, 2000, 5000), Signal(6.0, 9.0, 2500, 4000)]
+plan = pad_plan_to_bucket(plan_windows(len(rec), SR, tracks, 3.0, 1.5, rng=None), 64)
+prog = _fused_group_program([model], cfg, SR, plan.sample_size, 8)
+frames = jnp.asarray(rec)
+args_plain = (frames, jnp.asarray(plan.base), jnp.asarray(plan.valid_lo),
+              jnp.asarray(plan.valid_hi), jnp.asarray(plan.track_index))
+base_out = np.asarray(prog(*args_plain))
+rep = NamedSharding(mesh, P())
+dat = NamedSharding(mesh, P("data"))
+args_shard = (jax.device_put(frames, rep),) + tuple(
+    jax.device_put(a, dat) for a in args_plain[1:])
+shard_out = np.asarray(prog(*args_shard))
+np.testing.assert_allclose(shard_out, base_out, rtol=2e-4, atol=2e-5)
+print("SHARDED-OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin", "PYTHONPATH": str(Path(__file__).parent.parent), "HOME": "/root"},
     )
-    shard_out = np.asarray(prog(*args_shard))
-    np.testing.assert_allclose(shard_out, base_out, rtol=2e-4, atol=2e-5)
+    assert r.returncode == 0 and "SHARDED-OK" in r.stdout, r.stderr[-2000:]
 
 
 @pytest.mark.slow
 def test_batch_sharded_matches_unsharded(model_dir):
-    """Full mesh-sharded serving e2e (GSPMD compiles are slow on the CPU
-    backend, so this runs under -m slow)."""
-    from audio_analysis_tpu.parallel.mesh import make_mesh
+    """Full mesh-sharded serving e2e. Isolated in a fresh interpreter (slow
+    GSPMD CPU compiles + the XLA CPU multi-device runtime flakily aborts in
+    long-lived suite processes)."""
+    import subprocess
+    import sys
 
-    recs = [_rec(s, seconds=6) for s in range(8)]
-    mesh = make_mesh(n_devices=8, model_parallel=1)
-    base = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=6, rng=None)
-    shard = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=6, rng=None, mesh=mesh)
-    a = base.analyse_recordings(recs)
-    b = shard.analyse_recordings(recs)
-    for ra, rb in zip(a, b):
-        assert ra["chirps"]["signals"] == rb["chirps"]["signals"]
-        la = [t["model_results"][0]["predictions"] for t in ra["species_identify"]]
-        lb = [t["model_results"][0]["predictions"] for t in rb["species_identify"]]
-        for pa, pb in zip(la, lb):
-            assert [p["label"] for p in pa] == [p["label"] for p in pb]
-            for x, y in zip(pa, pb):
-                assert abs(x["confidence"] - y["confidence"]) <= 1
+    script = f"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["AAT_COMPILATION_CACHE"] = "0"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from audio_analysis_tpu.pipeline.serve import BatchAnalyzer
+from audio_analysis_tpu.parallel.mesh import make_mesh
+
+SR = {SR}
+def _rec(seed, seconds=6):
+    rng = np.random.RandomState(seed)
+    t = np.arange(seconds * SR) / SR
+    y = 0.01 * rng.randn(len(t)).astype(np.float32)
+    for f0, t0, dur in [(3000, 2.0, 0.8)]:
+        m = (t >= t0) & (t < t0 + dur)
+        y[m] += (0.5 * np.sin(2 * np.pi * f0 * t[m])).astype(np.float32)
+    return y
+
+recs = [_rec(s) for s in range(8)]
+mesh = make_mesh(n_devices=8, model_parallel=1)
+base = BatchAnalyzer([{str(model_dir)!r}], sr=SR, bucket_seconds=6, rng=None)
+shard = BatchAnalyzer([{str(model_dir)!r}], sr=SR, bucket_seconds=6, rng=None, mesh=mesh)
+a = base.analyse_recordings(recs)
+b = shard.analyse_recordings(recs)
+for ra, rb in zip(a, b):
+    assert ra["chirps"]["signals"] == rb["chirps"]["signals"]
+    la = [t["model_results"][0]["predictions"] for t in ra["species_identify"]]
+    lb = [t["model_results"][0]["predictions"] for t in rb["species_identify"]]
+    for pa, pb in zip(la, lb):
+        assert [p["label"] for p in pa] == [p["label"] for p in pb]
+        for x, y in zip(pa, pb):
+            assert abs(x["confidence"] - y["confidence"]) <= 1
+print("SHARDED-E2E-OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin", "PYTHONPATH": str(Path(__file__).parent.parent), "HOME": "/root"},
+    )
+    assert r.returncode == 0 and "SHARDED-E2E-OK" in r.stdout, r.stderr[-2000:]
