@@ -18,6 +18,11 @@ def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
+            if "/" in str(k):
+                raise ValueError(
+                    f"parameter name {k!r} contains '/', which is the "
+                    "checkpoint path separator; rename the leaf"
+                )
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
@@ -40,8 +45,12 @@ def _unflatten(flat):
         if not isinstance(node, dict):
             return node
         keys = list(node.keys())
+        # Only contiguous 0..n-1 digit keys round-trip to a list; anything
+        # else (e.g. a pruned layer list saved as '0','2') stays a dict.
         if keys and all(k.isdigit() for k in keys):
-            return [listify(node[str(i)]) for i in range(len(keys))]
+            idx = sorted(int(k) for k in keys)
+            if idx == list(range(len(keys))):
+                return [listify(node[str(i)]) for i in range(len(keys))]
         return {k: listify(v) for k, v in node.items()}
 
     return listify(root)

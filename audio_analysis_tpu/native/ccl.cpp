@@ -127,13 +127,21 @@ extern "C" int64_t ccl_stats_packed(const uint8_t* packed, int64_t h,
     // clamp any run that spilled into pad bits
     row_first[y + 1] = static_cast<int64_t>(runs.size());
   }
-  // clamp all run ends to logical width (pad bits are zero by construction
-  // on the producer side, but be safe)
+  // Clamp run ends to the logical width and DROP runs living entirely in
+  // pad bits (end <= start after the clamp): finish_ccl has no degenerate
+  // filter, so without this a non-zero-padding producer would get spurious
+  // zero-area components. row_first is rebuilt over the compacted list.
+  std::vector<Run> kept;
+  kept.reserve(runs.size());
+  std::fill(row_first.begin(), row_first.end(), static_cast<int64_t>(-1));
   for (auto& r : runs) {
     if (r.end > w) r.end = w;
-    if (r.start >= w) r.start = w;  // degenerate; filtered by end<=start later
+    if (r.start >= r.end) continue;
+    if (row_first[r.row] < 0) row_first[r.row] = static_cast<int64_t>(kept.size());
+    kept.push_back(r);
   }
-  return finish_ccl(runs, row_first, h, out);
+  row_first[h] = static_cast<int64_t>(kept.size());
+  return finish_ccl(kept, row_first, h, out);
 }
 
 namespace {

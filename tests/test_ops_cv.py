@@ -71,6 +71,27 @@ def test_ccl_native_available():
     assert load_ccl_library() is not None, "native CCL should build with g++"
 
 
+def test_ccl_packed_nonzero_pad_bits(rng):
+    """Runs living entirely in pad bits must not emit components.
+
+    _pack_bits zero-pads, but the C ABI must be safe for any producer:
+    set every pad bit to 1 and check parity with cv2 on the logical mask.
+    """
+    lib = load_ccl_library()
+    assert lib is not None
+    h, w = 37, 45  # w % 8 != 0 so the last byte has 3 pad bits
+    m = _rand_mask(rng, h, w, p=0.35)
+    packed = np.packbits(m, axis=1)  # zero pad bits...
+    packed[:, -1] |= (1 << (8 * packed.shape[1] - w)) - 1  # ...now force to 1
+    out = np.zeros((h * w // 2 + 2, 5), np.int64)
+    n = lib.ccl_stats_packed(
+        np.ascontiguousarray(packed), h, w, packed.shape[1], out
+    )
+    np.testing.assert_array_equal(
+        _ours_sorted(out[:n]), _cv2_stats_sorted(m)
+    )
+
+
 def test_ccl_shapes():
     m = np.zeros((10, 10), np.uint8)
     assert connected_components_with_stats(m).shape == (0, 5)
