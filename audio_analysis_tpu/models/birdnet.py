@@ -83,38 +83,51 @@ def _bn_init(c):
 
 
 def _bn_apply(x, bn, training=False):
+    """Returns (normalised x, batch stats dict or None).
+
+    In training mode normalisation uses the batch statistics (mean/var over
+    N,H,W — under pjit the full-batch mean becomes an XLA psum across the
+    'data' axis), and the stats are returned so the train step can EMA them
+    into the running ``bn["mean"]/bn["var"]`` used at inference
+    (Keras-compatible momentum, see parallel/train.py::BN_MOMENTUM)."""
     if training:
-        # batch statistics over N,H,W; running stats are updated by the
-        # train step via the returned batch stats
         mean = jnp.mean(x, axis=(0, 1, 2))
         var = jnp.var(x, axis=(0, 1, 2))
+        stats = {"mean": jax.lax.stop_gradient(mean), "var": jax.lax.stop_gradient(var)}
     else:
         mean, var = bn["mean"], bn["var"]
-    return L.batch_norm(x, mean, var, bn["gamma"], bn["beta"], eps=1e-3)
+        stats = None
+    return L.batch_norm(x, mean, var, bn["gamma"], bn["beta"], eps=1e-3), stats
 
 
-def apply(params, x, cfg: TuiNetConfig, training: bool = False):
+def apply(params, x, cfg: TuiNetConfig, training: bool = False, with_stats: bool = False):
     """Forward pass: x [B, n_mels, T, 1] -> logits [B, num_classes].
 
     Internals run in cfg.dtype (bfloat16 on TPU) with float32 head, the
-    standard MXU recipe.
+    standard MXU recipe. With ``with_stats=True`` (training only) returns
+    ``(logits, bn_stats)`` where bn_stats mirrors the ``blocks[i]["bn1"/"bn2"]``
+    structure with per-layer batch mean/var.
     """
     dt = jnp.dtype(cfg.dtype)
     y = mag_transform(jnp.maximum(x, 0.0), params["mag_a"])
     y = y.astype(dt)
     y = L.conv2d(y, params["stem"]["w"].astype(dt), params["stem"]["b"].astype(dt), strides=(2, 2))
     y = jax.nn.relu(y)
+    bn_stats = []
     for blk in params["blocks"]:
         y = L.conv2d(y, blk["w1"].astype(dt), None)
-        y = _bn_apply(y.astype(jnp.float32), blk["bn1"], training).astype(dt)
-        y = jax.nn.relu(y)
+        y, s1 = _bn_apply(y.astype(jnp.float32), blk["bn1"], training)
+        y = jax.nn.relu(y.astype(dt))
         y = L.conv2d(y, blk["w2"].astype(dt), None)
-        y = _bn_apply(y.astype(jnp.float32), blk["bn2"], training).astype(dt)
-        y = jax.nn.relu(y)
+        y, s2 = _bn_apply(y.astype(jnp.float32), blk["bn2"], training)
+        y = jax.nn.relu(y.astype(dt))
         y = L.max_pool2d(y, (2, 2), (2, 2), "SAME")
+        bn_stats.append({"bn1": s1, "bn2": s2})
     y = L.global_avg_pool2d(y.astype(jnp.float32))
     y = jax.nn.relu(L.dense(y, params["head"]["w1"], params["head"]["b1"]))
     logits = L.dense(y, params["head"]["w2"], params["head"]["b2"])
+    if with_stats:
+        return logits, bn_stats
     return logits
 
 

@@ -330,8 +330,11 @@ def classify_frames(
             # every track is out of the model's frequency band: the
             # reference's per-track loop just never predicts (empty data per
             # track, src/identify_tracks.py:537-538) — keep the tracks and
-            # signals, skip inference
-            break
+            # signals, skip inference for THIS group but keep iterating so
+            # later groups still contribute their bird_labels
+            # (src/identify_tracks.py:494 updates bird_labels per group, and
+            # get_chirps consumes the union)
+            continue
 
         models_only = [m for m, _ in predict_models]
         with timer.stage("infer"):

@@ -96,6 +96,34 @@ def test_pre_and_main_groups(tmp_path):
     assert pre_flags["prenet"] is True and pre_flags["mainnet"] is False
 
 
+def test_out_of_band_tracks_still_union_bird_labels(tmp_path):
+    """When every track is outside both models' frequency bands, the group
+    loop must still visit every group and union its bird_labels (reference
+    updates bird_labels per group, src/identify_tracks.py:494, even with no
+    windows; get_chirps consumes the union). Regression: a `break` used to
+    drop the second group's labels."""
+    main = _save_model(
+        tmp_path / "main", "mainnet", seed=7,
+        extra_meta={"fmin": 20000, "fmax": 23000, "bird_labels": ["bird"]},
+    )
+    pre = _save_model(
+        tmp_path / "pre", "prenet", labels=["bird", "human", "noise"], seed=8,
+        extra_meta={
+            "pre_model": True,
+            "fmin": 20000,
+            "fmax": 23000,
+            "bird_labels": ["kiwi", "whistler"],
+        },
+    )
+    rec = _recording(3)
+    tracks, length, signals, raw_length, bird_labels = classify_frames(
+        rec, SR, [str(main), str(pre)], False, None, rng=None
+    )
+    assert len(tracks) >= 1
+    assert all(len(t.results) == 0 for t in tracks)  # no in-band windows
+    assert set(bird_labels) == {"bird", "kiwi", "whistler"}
+
+
 def test_filter_below_bandpass_path(tmp_path):
     """filter_below triggers the per-track Butterworth path for low tracks
     (reference: src/identify_tracks.py:156-161); pipeline still completes
