@@ -228,18 +228,22 @@ def detect_batch_finish(handle):
     GIL via ctypes). Returns [(length_seconds, signals), ...]."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from audio_analysis_tpu.parallel.distributed import local_slice
+
     found, flat_sec, packed, n_valid, shape, sr, hop_length, n_fft = handle
-    found = np.asarray(found)
-    flat_sec = np.asarray(flat_sec)
-    packed = np.asarray(packed)
-    n_valid_np = np.asarray(n_valid)
+    # local_slice == np.asarray for single-process arrays; under multi-host
+    # each process transfers and post-processes ONLY its own recordings
+    found = local_slice(found)
+    flat_sec = local_slice(flat_sec)
+    packed = local_slice(packed)
+    n_valid_np = local_slice(n_valid)
     n_frames_total = num_frames(shape[-1], hop_length, n_fft)
 
     def one(b):
         stats = connected_components_with_stats_packed(packed[b], n_frames_total)
         return _signals_from_stats(stats, sr, hop_length, n_fft)
 
-    B = shape[0]
+    B = packed.shape[0]
     with ThreadPoolExecutor(max_workers=min(8, B)) as ex:
         all_signals = list(ex.map(one, range(B)))
     out = []

@@ -250,6 +250,10 @@ class KerasModel:
             return L.global_avg_pool2d(x, cfg.get("keepdims", False))
         if cls == "GlobalMaxPooling2D":
             return L.global_max_pool2d(x, cfg.get("keepdims", False))
+        if cls == "GlobalAveragePooling1D":
+            return jnp.mean(x, axis=1, keepdims=cfg.get("keepdims", False))
+        if cls == "GlobalMaxPooling1D":
+            return jnp.max(x, axis=1, keepdims=cfg.get("keepdims", False))
         if cls == "Flatten":
             return x.reshape(x.shape[0], -1)
         if cls == "Reshape":
@@ -304,7 +308,33 @@ class KerasModel:
 # ---------------------------------------------------------------------------
 
 
+def _normalize_node(node):
+    """Normalise an inbound_nodes entry to the Keras-3 dict form.
+
+    Keras 3 writes ``{"args": [...__keras_tensor__ refs...], "kwargs": {}}``;
+    legacy Keras 2 archives (e.g. tf_keras re-saves of the reference's TF1
+    morepork SavedModels) write a list of
+    ``[layer_name, node_index, tensor_index, call_kwargs]`` entries."""
+    if isinstance(node, dict):
+        return node
+    refs = [
+        {
+            "class_name": "__keras_tensor__",
+            "config": {"keras_history": [e[0], e[1], e[2]]},
+        }
+        for e in node
+    ]
+    kwargs = {}
+    if node and len(node[0]) > 3 and isinstance(node[0][3], dict):
+        kwargs = node[0][3]
+    # multi-input layers (Add/Concatenate/...) take one list argument in
+    # Keras 3 call signatures; single-input layers take the bare tensor
+    args = refs if len(refs) == 1 else [refs]
+    return {"args": args, "kwargs": kwargs}
+
+
 def _collect_history(node):
+    node = _normalize_node(node)
     refs = []
 
     def rec(obj):
@@ -325,6 +355,8 @@ def _collect_history(node):
 
 
 def _resolve_args(node, values):
+    node = _normalize_node(node)
+
     def rec(obj):
         if isinstance(obj, dict):
             if obj.get("class_name") == "__keras_tensor__":

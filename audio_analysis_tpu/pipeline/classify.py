@@ -42,12 +42,20 @@ def _bucket(n, quantum=64):
 _GROUP_PROGRAMS = {}
 
 
-def _fused_group_program(models, cfg: ModelConfig, sr, sample_size, n_tracks_b):
+def _fused_group_program(models, cfg: ModelConfig, sr, sample_size, n_tracks_b, mesh=None):
     """One device program: window gather -> frontend -> every model ->
     ensemble mean -> per-track means. A single host round trip per model
-    group (RPC latency to the TPU dominates small dispatches)."""
+    group (RPC latency to the TPU dominates small dispatches).
+
+    With `mesh` (multi-host serving) the track-mean output is pinned
+    replicated so every process can read every track's probabilities."""
     key = (
         tuple(id(m) for m in models),  # models are cached per path: stable
+        # content key for the mesh (id() keys once caused a
+        # recompile-per-recording regression — see CLAUDE.md)
+        None
+        if mesh is None
+        else (mesh.axis_names, tuple(d.id for d in mesh.devices.flat)),
         (
             cfg.name,
             int(cfg.hop_length),
@@ -108,7 +116,12 @@ def _fused_group_program(models, cfg: ModelConfig, sr, sample_size, n_tracks_b):
         probs = probs / len(models)
         return _track_means(probs, tidx, n_tracks_b)
 
-    prog = jax.jit(program)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        prog = jax.jit(program, out_shardings=NamedSharding(mesh, P()))
+    else:
+        prog = jax.jit(program)
     _GROUP_PROGRAMS[key] = prog
     return prog
 
@@ -284,12 +297,19 @@ def classify_frames(
         bird_labels.update(cfg.bird_labels)
 
         if cfg.name == "embeddings":
-            # embeddings models classify TF-Hub embedding vectors per track
-            # (reference: src/identify_tracks.py:498-499, 536-551); requires
-            # tensorflow_hub at runtime (pipeline/embeddings.py gates it)
-            from audio_analysis_tpu.pipeline.embeddings import chirp_embeddings
+            # embeddings models classify embedding vectors per track
+            # (reference: src/identify_tracks.py:498-499, 536-551); the
+            # embedder comes from metadata "embedding_model" (local artifact,
+            # runs TF-free) or the TF-Hub download fallback
+            from audio_analysis_tpu.pipeline.embeddings import (
+                chirp_embeddings,
+                load_embedder,
+            )
 
-            data = chirp_embeddings(frames, sr, tracks, cfg.segment_stride)
+            embedder = load_embedder(cfg.raw.get("embedding_model"))
+            data = chirp_embeddings(
+                frames, sr, tracks, cfg.segment_stride, embedder=embedder
+            )
             flat = [np.asarray(e) for track_e in data for e in track_e]
             seg = np.concatenate(
                 [np.full(len(track_e), ti, np.int32) for ti, track_e in enumerate(data)]

@@ -113,21 +113,39 @@ def _load_morepork_model(path):
     default to a sigmoid output here unless metadata says otherwise.
     """
     p = Path(path)
-    if (p / "weights.npz").exists() or list(p.glob("*.keras")):
-        from audio_analysis_tpu.models.registry import load_classifier
-        from audio_analysis_tpu.io.modelconfig import ModelConfig
+    if not ((p / "weights.npz").exists() or list(p.glob("*.keras"))):
+        # the reference's input format: a TF SavedModel dir per member
+        # (src/identify_morepork.py:169-176) — auto-convert-and-cache to the
+        # TF-free .keras path; non-Keras graphs fall back to opaque host-TF
+        # execution (the reference's own execution model)
+        from audio_analysis_tpu.io.convert import (
+            ConversionError,
+            HostSavedModel,
+            auto_convert_saved_model,
+        )
 
         try:
-            cfg = ModelConfig.load(p)
-        except FileNotFoundError:
-            cfg = ModelConfig.from_meta({}, p)
-        if (p / "weights.npz").exists():
-            cfg.raw.setdefault("output_activation", "sigmoid")
-        return load_classifier(p, cfg)
-    raise RuntimeError(
-        f"morepork model at {path} is a TF SavedModel; convert it with "
-        "tools/convert_model.py (requires tensorflow)"
-    )
+            p = auto_convert_saved_model(p)
+        except ConversionError:
+            try:
+                return HostSavedModel(p)
+            except ImportError:
+                raise RuntimeError(
+                    f"morepork model at {path} is a TF SavedModel; converting "
+                    "or running it requires tensorflow (+ tf_keras), or "
+                    "pre-convert offline with tools/convert_model.py"
+                )
+
+    from audio_analysis_tpu.models.registry import load_classifier
+    from audio_analysis_tpu.io.modelconfig import ModelConfig
+
+    try:
+        cfg = ModelConfig.load(p)
+    except FileNotFoundError:
+        cfg = ModelConfig.from_meta({}, p)
+    if (p / "weights.npz").exists():
+        cfg.raw.setdefault("output_activation", "sigmoid")
+    return load_classifier(p, cfg)
 
 
 def _find_likely_span(liklihoods, start_times, first, last):

@@ -134,13 +134,19 @@ def plan_windows(
     )
 
 
-def pad_plan_to_bucket(plan: WindowPlan, quantum: int = 64) -> WindowPlan:
+def pad_plan_to_bucket(plan: WindowPlan, quantum: int = 64, target: int = None) -> WindowPlan:
     """Pad the window count up to a compile bucket with empty windows mapped
     to an extra throwaway segment (index n_tracks). Keeps the frontend/model
     programs at a handful of static shapes across recordings; the padded
-    rows are all-zero audio and are dropped by the segment mean."""
+    rows are all-zero audio and are dropped by the segment mean.
+
+    `target` overrides the computed bucket — multi-host serving passes the
+    all-gathered max so every process pads to the same global shape."""
     n = len(plan.base)
-    target = max(quantum, -(-n // quantum) * quantum)
+    if target is None:
+        target = max(quantum, -(-n // quantum) * quantum)
+    elif target < n:
+        raise ValueError(f"pad target {target} < {n} windows")
     if target == n:
         return plan
     pad = target - n

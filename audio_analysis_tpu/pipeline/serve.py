@@ -92,14 +92,29 @@ class BatchAnalyzer:
 
     # -- two-phase internals --------------------------------------------------
 
+    @property
+    def _multihost(self):
+        return self.mesh is not None and jax.process_count() > 1
+
     def _dispatch(self, recordings, sr=None):
         sr = int(sr or self.sr)
         B = len(recordings)
         if B == 0:
             return None
-        t_bucket = max(
-            self.bucket, max(-(-len(r) // self.sr) * self.sr for r in recordings)
-        )
+        if self._multihost:
+            # the bucket must be identical on every process (one global
+            # program); recordings are the caller's per-host feed
+            t_bucket = self.bucket
+            longest = max(len(r) for r in recordings)
+            if longest > t_bucket:
+                raise ValueError(
+                    f"multi-host serving requires recordings <= bucket_seconds"
+                    f" ({longest} > {t_bucket} samples)"
+                )
+        else:
+            t_bucket = max(
+                self.bucket, max(-(-len(r) // self.sr) * self.sr for r in recordings)
+            )
         # int16 PCM uploads at half the bytes and converts on device
         # (bit-identical to the 16-bit decode scaling); mixed input falls
         # back to float32.
@@ -110,6 +125,15 @@ class BatchAnalyzer:
         for i, r in enumerate(recordings):
             stacked[i, : len(r)] = r
             n_valid[i] = len(r)
+        if self._multihost:
+            from audio_analysis_tpu.parallel.distributed import make_global_batch
+            from jax.sharding import PartitionSpec as P
+
+            # per-process feeding: this host contributes only its block
+            frames_dev = make_global_batch(self.mesh, stacked)
+            n_valid_dev = make_global_batch(self.mesh, n_valid, P("data"))
+            detect_handle = detect_batch_dispatch(frames_dev, n_valid_dev, sr)
+            return (detect_handle, frames_dev, n_valid, t_bucket, B, sr)
         if self.mesh is not None and B % self.mesh.shape["data"] == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -151,6 +175,11 @@ class BatchAnalyzer:
             )
             plans.append(plan)
             all_tracks.append(tracks)
+
+        if self._multihost:
+            return self._finish_multihost(
+                per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr
+            )
 
         combined = self._combine_plans(plans, t_bucket)
         flat_frames = frames_dev.reshape(-1)
@@ -224,6 +253,87 @@ class BatchAnalyzer:
 
         return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
 
+    def _finish_multihost(
+        self, per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr
+    ):
+        """SPMD inference across processes: every process executes the SAME
+        global programs (windows sharded along 'data'; XLA inserts the psum
+        for the track means and the all-gather for the replicated PCM), does
+        host post-processing only for ITS recordings, then results are
+        all-gathered so process 0 holds the full batch (single-writer
+        contract, reference analyse.py:454-468)."""
+        from audio_analysis_tpu.parallel import distributed as dist
+        from jax.sharding import PartitionSpec as P
+
+        if any(p.filter_specs for p in plans):
+            raise NotImplementedError(
+                "per-track band-pass configs (filter_freq/filter_below) are "
+                "not supported in multi-host serving yet"
+            )
+
+        base_row = dist.local_offset(frames_dev)
+        combined = self._combine_plans(plans, t_bucket, base_row=base_row)
+        n_local_tracks = combined.n_tracks
+        track_counts = dist.allgather_host_values(n_local_tracks)
+        track_offset0 = sum(track_counts[: jax.process_index()])
+        n_total_tracks = sum(track_counts)
+
+        # globally consistent window bucket (every process must pad its
+        # local block to the same shape — one global program)
+        w_counts = dist.allgather_host_values(len(combined.base))
+        w_target = max(64, -(-max(w_counts) // 64) * 64)
+        local_windows_per_track = np.bincount(
+            combined.track_index, minlength=max(n_local_tracks, 1)
+        )
+        shifted = WindowPlan(
+            base=combined.base,
+            valid_lo=combined.valid_lo,
+            valid_hi=combined.valid_hi,
+            track_index=combined.track_index + track_offset0,
+            n_tracks=n_total_tracks,
+            sample_size=combined.sample_size,
+        )
+        padded = pad_plan_to_bucket(shifted, target=w_target)
+
+        flat_frames = dist.replicate(self.mesh, frames_dev).reshape(-1)
+        n_windows_global = sum(w_counts)
+        track_offsets = np.cumsum([0] + [len(t) for t in all_tracks])
+        for group in self.groups:
+            cfg = group[0][1]
+            models_only = [m for m, _ in group]
+            if n_total_tracks == 0 or n_windows_global == 0:
+                break  # globally agreed: every process breaks together
+            n_tracks_b = _bucket(n_total_tracks, 8)
+            prog = _fused_group_program(
+                models_only, cfg, sr, combined.sample_size, n_tracks_b,
+                mesh=self.mesh,
+            )
+
+            def put(a):
+                return dist.make_global_batch(self.mesh, a, P("data"))
+
+            track_probs = dist.replicated_np(
+                prog(
+                    flat_frames,
+                    put(padded.base),
+                    put(padded.valid_lo),
+                    put(padded.valid_hi),
+                    put(padded.track_index),
+                )
+            )[:n_total_tracks]
+            local_probs = track_probs[track_offset0 : track_offset0 + n_local_tracks]
+            for b in range(B):
+                lo, hi = track_offsets[b], track_offsets[b + 1]
+                apply_thresholds(
+                    all_tracks[b],
+                    local_probs[lo:hi],
+                    local_windows_per_track[lo:hi],
+                    cfg,
+                )
+
+        results = self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
+        return dist.allgather_results(results)
+
     def _infer_with_filters(self, frames_dev, n_valid, sr, all_tracks, rng):
         """Per-recording inference with the band-pass path (rare configs).
         Matches classify_frames' slow path semantics per recording."""
@@ -294,13 +404,14 @@ class BatchAnalyzer:
     # -- internals ----------------------------------------------------------
 
     @staticmethod
-    def _combine_plans(plans, t_bucket):
-        """Merge per-recording plans into one global plan over [B*T] PCM."""
+    def _combine_plans(plans, t_bucket, base_row=0):
+        """Merge per-recording plans into one global plan over [B*T] PCM.
+        `base_row`: this process's first global recording row (multi-host)."""
         bases, vlo, vhi, tidx = [], [], [], []
         track_base = 0
         sample_size = plans[0].sample_size if plans else 0
         for b, plan in enumerate(plans):
-            bases.append(plan.base.astype(np.int64) + b * t_bucket)
+            bases.append(plan.base.astype(np.int64) + (base_row + b) * t_bucket)
             vlo.append(plan.valid_lo)
             vhi.append(plan.valid_hi)
             tidx.append(plan.track_index + track_base)

@@ -26,9 +26,17 @@ def enable_compilation_cache():
         return
     # The cache exists for slow TPU compiles; on CPU it stores
     # machine-feature-specific AOT results that can SIGILL when loaded on a
-    # different host profile — skip it when CPU is requested.
+    # different host profile — skip it when CPU is requested (via the env
+    # var OR the config knob, which is how the axon plugin must be overridden).
     if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
         return
+    try:
+        import jax
+
+        if "cpu" in (jax.config.jax_platforms or "").lower():
+            return
+    except Exception:
+        pass
     cache_dir = os.environ.get(
         "AAT_CACHE_DIR", str(Path.home() / ".cache" / "audio_analysis_tpu" / "xla")
     )

@@ -1,0 +1,132 @@
+"""Multi-host serving test: 2 processes x 4 virtual CPU devices running ONE
+SPMD program (jax.distributed + make_array_from_process_local_data) must
+produce the same results as a single process over the same 8 recordings
+(SURVEY.md §5 "Distributed communication backend")."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+WORKER = Path(__file__).resolve().parent / "multihost_worker.py"
+REPO = Path(__file__).resolve().parent.parent
+LABELS = ["bird", "morepork", "human", "noise"]
+
+
+def _save_model(d):
+    d.mkdir(parents=True, exist_ok=True)
+    tf.keras.utils.set_random_seed(11)
+    inp = tf.keras.Input((64, 226, 1))
+    x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(len(LABELS), activation="softmax")(x)
+    tf.keras.Model(inp, out).save(str(d / "audioModel.keras"))
+    meta = {
+        "name": "mhnet",
+        "labels": LABELS,
+        "segment_length": 3,
+        "segment_stride": 1.5,
+        "hop_length": 640,
+        "n_mels": 64,
+        "break_freq": 1750,
+        "htk": True,
+        "threshold": 0.2,
+        "normalize": True,
+        "bird_labels": ["bird", "morepork"],
+    }
+    (d / "metadata.txt").write_text(json.dumps(meta))
+    return d
+
+
+def _env(n_devices):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    env["PYTHONPATH"] = str(REPO)
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _approx_equal(a, b, path=""):
+    if isinstance(a, dict) and isinstance(b, dict):
+        assert set(a) == set(b), (path, set(a) ^ set(b))
+        for k in a:
+            _approx_equal(a[k], b[k], f"{path}.{k}")
+    elif isinstance(a, list) and isinstance(b, list):
+        assert len(a) == len(b), (path, len(a), len(b))
+        for i, (x, y) in enumerate(zip(a, b)):
+            _approx_equal(x, y, f"{path}[{i}]")
+    elif isinstance(a, float) or isinstance(b, float):
+        assert a == pytest.approx(b, rel=2e-2, abs=1.5), (path, a, b)
+    else:
+        assert a == b, (path, a, b)
+
+
+@pytest.mark.slow
+def test_two_process_serving_matches_single(tmp_path):
+    model = _save_model(tmp_path / "model")
+    single_out = tmp_path / "single.json"
+    r = subprocess.run(
+        [
+            sys.executable, str(WORKER),
+            "--model", str(model),
+            "--out", str(single_out),
+            "--total-recordings", "8",
+        ],
+        env=_env(8), capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    port = _free_port()
+    procs = []
+    outs = []
+    for pid in range(2):
+        out = tmp_path / f"mh{pid}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, str(WORKER),
+                    "--model", str(model),
+                    "--out", str(out),
+                    "--process-id", str(pid),
+                    "--num-processes", "2",
+                    "--coordinator", f"localhost:{port}",
+                    "--total-recordings", "8",
+                ],
+                env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    errs = []
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        errs.append(err)
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(errs)[-4000:]
+
+    single = json.loads(single_out.read_text())
+    assert len(single) == 8
+    # some recording must actually produce a track or the test is vacuous
+    assert any(rec["species_identify"] for rec in single)
+    for out in outs:
+        got = json.loads(out.read_text())
+        _approx_equal(got, single)

@@ -36,21 +36,14 @@ def convert_keras(src: Path, dst: Path, labels):
 
 
 def convert_saved_model(src: Path, dst: Path, labels):
-    try:
-        import tensorflow as tf
-    except ImportError:
-        sys.exit("converting a SavedModel requires tensorflow")
-    model = tf.keras.models.load_model(str(src))
-    tmp = dst / "audioModel.keras"
-    dst.mkdir(parents=True, exist_ok=True)
-    model.save(str(tmp))
-    from audio_analysis_tpu.models.keras_graph import KerasModel
+    from audio_analysis_tpu.io.convert import ConversionError
+    from audio_analysis_tpu.io.convert import convert_saved_model as _convert
 
-    KerasModel.load(tmp)  # validate
-    meta = {"name": src.name, "labels": labels or ["morepork"]}
-    if not (dst / "metadata.txt").exists():
-        (dst / "metadata.txt").write_text(json.dumps(meta, indent=4))
-    print(f"converted SavedModel -> {tmp}")
+    try:
+        _convert(src, dst, labels=labels)
+    except ConversionError as e:
+        sys.exit(str(e))
+    print(f"converted SavedModel -> {dst / 'audioModel.keras'} (logit parity verified)")
 
 
 def main():
