@@ -53,7 +53,7 @@ def run(argv=None):
             chunk = args.files[i : i + args.batch_size]
             recs = []
             for f in chunk:
-                frames, _ = load_recording(f, resample=analyzer.sr)
+                frames, _ = load_recording(f, resample=analyzer.sr, prefer_int16=True)
                 recs.append(frames)
             yield chunk, recs
 

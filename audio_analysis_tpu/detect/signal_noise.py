@@ -290,7 +290,9 @@ def detect(frames, sr, n_valid_samples=None, hop_length=281, n_fft=4096):
     Equivalent to the reference sequence length = get_end(...);
     signals = signal_noise(frames[:int(sr*length)]).
     """
-    frames = jnp.asarray(frames, dtype=jnp.float32)
+    frames = jnp.asarray(frames)
+    if frames.dtype != jnp.int16:  # int16 uploads half the bytes;
+        frames = frames.astype(jnp.float32)  # program converts on device
     if n_valid_samples is None:
         n_valid_samples = frames.shape[0]
     found, flat_sec, packed = _fused_detect_program(

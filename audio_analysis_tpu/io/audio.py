@@ -168,11 +168,51 @@ def load_audio_mono(path, sample_rate=None) -> tuple:
     return np.ascontiguousarray(mono, dtype=np.float32), sr
 
 
-def load_recording(file, resample=48000):
+def _try_load_wav_pcm16(path: Path, want_sr: int):
+    """Fast path: a mono 16-bit PCM WAV already at `want_sr` is returned as
+    raw int16 (no scaling) — device code converts with the identical /32768
+    while the upload moves half the bytes. Returns None when inapplicable."""
+    try:
+        raw = path.read_bytes()
+        if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return None
+        pos, fmt, fmt_body, data = 12, None, b"", None
+        while pos + 8 <= len(raw):
+            cid = raw[pos : pos + 4]
+            (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+            body = raw[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+                fmt_body = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if fmt is None or data is None:
+            return None
+        audio_format, channels, sample_rate, _, _, bits = fmt
+        if audio_format == 0xFFFE and len(fmt_body) >= 26:
+            (audio_format,) = struct.unpack("<H", fmt_body[24:26])
+        if audio_format == 1 and channels == 1 and bits == 16 and sample_rate == want_sr:
+            return data_np(data, "<i2").copy()
+    except Exception:
+        return None
+    return None
+
+
+def load_recording(file, resample=48000, prefer_int16=False):
     """Reference load_recording contract (src/identify_tracks.py:49-62):
     decode, then resample to `resample` Hz. Resampling runs on device via
     ops.resample. Decode failures raise a fresh exception (the reference
-    found that propagating the original hangs its docker host)."""
+    found that propagating the original hangs its docker host).
+
+    With `prefer_int16`, a mono 16-bit PCM WAV already at the target rate is
+    returned as int16 (the classify/detect device programs accept it and
+    convert on device) — halves the host->device upload, the dominant
+    single-recording latency cost over the tunnel."""
+    if prefer_int16 and resample is not None and Path(file).suffix.lower() in (".wav", ".wave"):
+        pcm16 = _try_load_wav_pcm16(Path(file), int(resample))
+        if pcm16 is not None:
+            return pcm16, int(resample)
     try:
         frames, sr = load_audio_mono(file)
     except Exception:

@@ -122,6 +122,9 @@ def chirp_embeddings(frames, sr, tracks, stride=5, embedder=None):
 
     if embedder is None:
         embedder = _HubEmbedder()
+    frames = np.asarray(frames)
+    if frames.dtype == np.int16:  # the prefer_int16 decode fast path
+        frames = frames.astype(np.float32) / 32768.0
     rec_data = np.asarray(resample(frames, sr, EMBED_SR))
     samples = get_chirp_samples(rec_data, tracks, sr=EMBED_SR, stride=stride)
     counts = [len(t) for t in samples]

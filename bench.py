@@ -115,6 +115,160 @@ def run_analysis(frames, sr, models, rng):
     }
 
 
+def build_efficientnet_fixture(tmp: Path):
+    """EfficientNetB0 (the reference's flagship scale,
+    src/identify_tracks.py:539) over [160, 226, 3] mel windows, built with
+    tf.keras once and imported TF-free thereafter. Returns the model dir or
+    None when TF is unavailable."""
+    d = tmp / "efficientnet-b0"
+    labels = ["bird", "kiwi", "morepork", "whistler", "noise", "human", "insect", "other"]
+    if not (d / "audioModel.keras").exists():
+        try:
+            import tensorflow as tf
+        except ImportError:
+            return None
+        tf.keras.utils.set_random_seed(7)
+        model = tf.keras.applications.EfficientNetB0(
+            weights=None, input_shape=(160, 226, 3), classes=len(labels)
+        )
+        d.mkdir(parents=True, exist_ok=True)
+        model.save(str(d / "audioModel.keras"))
+        (d / "metadata.txt").write_text(
+            json.dumps(
+                {
+                    "name": "efficientnet-b0",
+                    "labels": labels,
+                    "segment_length": 3,
+                    "segment_stride": 1.5,
+                    "hop_length": 640,
+                    "n_mels": 160,
+                    "break_freq": 1750,
+                    "htk": True,
+                    "fmin": 50,
+                    "fmax": 11000,
+                    "power": 2,
+                    "db_scale": True,
+                    "threshold": 0.7,
+                    "n_fft": 4096,
+                    "normalize": True,
+                }
+            )
+        )
+    return str(d)
+
+
+def _force(x):
+    """Force execution on axon (block_until_ready does not block there):
+    transfer a dependent scalar."""
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
+
+
+V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
+
+
+def bench_mfu(effnet_dir, sr=48000):
+    """Windows/s + MFU of the fused gather->frontend->EfficientNetB0->means
+    program on a dense 256-window grid (the hot kernel in isolation)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_analysis_tpu.io.modelconfig import ModelConfig
+    from audio_analysis_tpu.models.registry import load_classifier
+    from audio_analysis_tpu.pipeline.classify import _fused_group_program
+
+    cfg = ModelConfig.load(Path(effnet_dir))
+    model = load_classifier(Path(effnet_dir), cfg)
+    n_windows = 256
+    sample_size = int(cfg.segment_length * sr)
+    frames = jnp.asarray(
+        np.random.RandomState(0).randn(60 * sr).astype(np.float32) * 0.1
+    )
+    base = np.random.RandomState(1).randint(0, 60 * sr - sample_size, n_windows)
+    base = np.sort(base).astype(np.int64)
+    vlo = np.zeros(n_windows, np.int32)
+    vhi = np.full(n_windows, sample_size, np.int32)
+    tidx = np.arange(n_windows, dtype=np.int32) // 8
+    n_tracks_b = 32
+    prog = _fused_group_program([model], cfg, sr, sample_size, n_tracks_b)
+    args = (frames, jnp.asarray(base), jnp.asarray(vlo), jnp.asarray(vhi), jnp.asarray(tidx))
+    _force(prog(*args))  # compile + warm
+
+    flops = None
+    try:
+        lowered = jax.jit(
+            lambda f, b, lo, hi, t: prog(f, b, lo, hi, t)
+        ).lower(*args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    if flops is None:
+        # analytic fallback: EfficientNetB0 ~0.39 GMACs at 224x224, scaled
+        # by input area, x2 FLOPs/MAC, plus the 4096-FFT frontend
+        flops = n_windows * (0.39e9 * (160 * 226) / (224 * 224) * 2 + 226 * 5 * 4096 * np.log2(4096) * 2)
+
+    reps = 8
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = prog(*args)
+    _force(out)
+    elapsed = time.perf_counter() - t0
+    windows_per_s = n_windows * reps / elapsed
+    mfu = flops * reps / elapsed / V5E_PEAK_FLOPS
+    return {
+        "windows_per_s": round(windows_per_s, 1),
+        "program_gflops_per_window": round(flops / n_windows / 1e9, 3),
+        "mfu_vs_bf16_peak": round(mfu, 4),
+    }
+
+
+def bench_latency(models, sr=48000):
+    """Warm single-recording latency (the CLI path: detect -> CCL -> plan ->
+    infer -> post), median of 10. int16 PCM, like the CLI's 16-bit WAV
+    decode fast path."""
+    frames = np.clip(make_recording(60, seed=42)[0] * 32768.0, -32768, 32767).astype(
+        np.int16
+    )
+    rng = np.random.RandomState(0)
+    run_analysis(frames, sr, models, rng)  # warm
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        run_analysis(frames, sr, models, rng)
+        times.append(time.perf_counter() - t0)
+    return round(float(np.median(times)), 3)
+
+
+def bench_pallas_melspec(sr=48000):
+    """A/B the Pallas DFT->mel kernel vs the XLA FFT path on a 128-window
+    grid; returns times and the keep/delete verdict input."""
+    import jax.numpy as jnp
+    from audio_analysis_tpu.pipeline.frontend import spectrogram_grid
+
+    grid = jnp.asarray(
+        np.random.RandomState(0).randn(128, 3 * sr).astype(np.float32) * 0.1
+    )
+    kw = dict(
+        sr=sr, hop_length=640, n_fft=4096, n_mels=160, mel_break=1750.0,
+        htk=True, power=2.0, db_scale=True, normalize=True,
+    )
+    out = {}
+    for name, use_pallas in (("xla", False), ("pallas", True)):
+        try:
+            _force(spectrogram_grid(grid, use_pallas=use_pallas, **kw))  # compile
+            t0 = time.perf_counter()
+            for _ in range(6):
+                y = spectrogram_grid(grid, use_pallas=use_pallas, **kw)
+            _force(y)
+            out[name] = round((time.perf_counter() - t0) / 6 * 1000, 2)
+        except Exception as e:  # pallas may be unsupported on a backend
+            out[name] = f"error: {type(e).__name__}"
+    return out
+
+
 def main():
     import warnings
 
@@ -122,6 +276,7 @@ def main():
     tmp = Path("/tmp/aat_bench_models")
     tmp.mkdir(exist_ok=True)
     models = build_fixture_models(tmp)
+    effnet_dir = build_efficientnet_fixture(tmp)
 
     from audio_analysis_tpu.pipeline.serve import BatchAnalyzer
 
@@ -162,6 +317,27 @@ def main():
         baseline = json.loads(bl_file.read_text()).get("audio_seconds_per_sec")
     vs = value / baseline if baseline else value / 100.0  # fallback: north star
 
+    # secondary scenarios (reference-flagship model scale, latency, pallas)
+    effnet = None
+    if effnet_dir is not None:
+        # streamed throughput with EfficientNetB0 as the main model
+        eff_analyzer = BatchAnalyzer(
+            [effnet_dir, models[1]], sr=sr, bucket_seconds=60,
+            rng=np.random.RandomState(0),
+        )
+        eff_analyzer.analyse_recordings(recordings)  # warm
+        t0 = time.perf_counter()
+        for _res in eff_analyzer.analyse_stream([recordings] * 4):
+            pass
+        eff_tp = seconds * 4 / (time.perf_counter() - t0)
+        effnet = {
+            "throughput_audio_s_per_s": round(eff_tp, 2),
+            **bench_mfu(effnet_dir, sr=sr),
+        }
+
+    latency = bench_latency(models, sr=sr)
+    pallas = bench_pallas_melspec(sr=sr)
+
     print(
         json.dumps(
             {
@@ -169,6 +345,9 @@ def main():
                 "value": round(value, 2),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(vs, 2),
+                "efficientnet_b0": effnet,
+                "latency_s_per_60s_recording": latency,
+                "pallas_melspec_ms_per_128_windows": pallas,
             }
         )
     )

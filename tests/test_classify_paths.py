@@ -137,6 +137,43 @@ def test_filter_below_bandpass_path(tmp_path):
     assert all(len(t.results) == 1 for t in tracks)
 
 
+def test_int16_input_matches_float(tmp_path):
+    """classify_frames fed int16 PCM (the decode fast path: half the upload
+    bytes, converted on device by /32768) must reproduce the float run on
+    the identically-scaled signal."""
+    d = _save_model(tmp_path / "m", "i16net", seed=9)
+    rec_f = _recording(4)
+    rec_i16 = np.clip(rec_f * 32768.0, -32768, 32767).astype(np.int16)
+    rec_f_scaled = rec_i16.astype(np.float32) / 32768.0
+
+    tr_i, *rest_i = classify_frames(rec_i16, SR, [str(d)], False, None, rng=None)
+    tr_f, *rest_f = classify_frames(rec_f_scaled, SR, [str(d)], False, None, rng=None)
+    assert len(tr_i) == len(tr_f) >= 1
+    for a, b in zip(tr_i, tr_f):
+        assert (a.start, a.end, a.freq_start, a.freq_end) == (
+            b.start, b.end, b.freq_start, b.freq_end,
+        )
+        pa = {p.what: p.confidence for p in a.results[0].predictions}
+        pb = {p.what: p.confidence for p in b.results[0].predictions}
+        assert pa == pb
+
+
+def test_load_recording_prefer_int16(tmp_path):
+    from audio_analysis_tpu.io.audio import load_recording, write_wav
+
+    y = (np.sin(2 * np.pi * 440 * np.arange(SR) / SR) * 0.4).astype(np.float32)
+    p = tmp_path / "r.wav"
+    write_wav(p, y, SR)  # writes 16-bit PCM
+    fast, sr_fast = load_recording(p, resample=SR, prefer_int16=True)
+    assert fast.dtype == np.int16 and sr_fast == SR
+    slow, sr_slow = load_recording(p, resample=SR)
+    assert slow.dtype == np.float32
+    np.testing.assert_allclose(fast.astype(np.float32) / 32768.0, slow, atol=1e-7)
+    # non-matching rate falls back to the float path
+    f2, sr2 = load_recording(p, resample=16000, prefer_int16=True)
+    assert f2.dtype == np.float32 and sr2 == 16000
+
+
 def test_analyse_tracks_requires_meta(tmp_path):
     d = _save_model(tmp_path / "m", "n", seed=6)
     assert classify_frames(_recording(), SR, [str(d)], True, None, rng=None) is None
