@@ -130,6 +130,79 @@ _signal_mask_program = partial(jax.jit, static_argnames=("sr", "hop_length", "n_
     _signal_mask
 )
 
+# per-recording run budget for the compact mask transfer; overflowing
+# recordings (adversarially dense masks) fall back to the packed mask
+MAX_RUNS = int(__import__("os").environ.get("AAT_MAX_RUNS", "16384"))
+
+
+def _popcount32(w: jnp.ndarray) -> jnp.ndarray:
+    """Per-word population count, uint32 in/out (SWAR)."""
+    w = w - ((w >> jnp.uint32(1)) & jnp.uint32(0x55555555))
+    w = (w & jnp.uint32(0x33333333)) + ((w >> jnp.uint32(2)) & jnp.uint32(0x33333333))
+    w = (w + (w >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
+    return (w * jnp.uint32(0x01010101)) >> jnp.uint32(24)
+
+
+def _kth_set_bits_packed(words_u: jnp.ndarray, k: int, width: int, fill: int):
+    """Flat [R*width] column indices of the first k set bits of a packed
+    [R, W]-word MSB-first bit matrix (pad bits must be zero), plus the total
+    count. Word-level cumsum + searchsorted finds each query's word; a
+    5-step binary select finds its column inside the word — never touching
+    the unpacked 21M-element mask (extracting runs at pixel granularity
+    fused into the detect program measured a 289 s XLA compile and +1.2 s
+    runtime; this packed form compiles in seconds and runs in ms)."""
+    r, w_words = words_u.shape
+    pc = _popcount32(words_u).reshape(-1).astype(jnp.int32)  # [R*W]
+    cum = jnp.cumsum(pc)
+    n = cum[-1]
+    q = jnp.arange(1, k + 1, dtype=jnp.int32)
+    wi = jnp.searchsorted(cum, q).astype(jnp.int32)  # word holding each query
+    wi_c = jnp.minimum(wi, r * w_words - 1)
+    prev = jnp.take(cum, wi_c) - jnp.take(pc, wi_c)
+    rank = q - 1 - prev  # 0-based set-bit rank inside the word
+    wv = jnp.take(words_u.reshape(-1), wi_c)
+    # binary select: largest m with popcount(top m bits) <= rank -> column m
+    m = jnp.zeros_like(rank)
+    for step in (16, 8, 4, 2, 1):
+        mid = m + step
+        cnt = (_popcount32(wv >> (jnp.uint32(32) - mid.astype(jnp.uint32)))).astype(
+            jnp.int32
+        )
+        m = jnp.where(cnt <= rank, mid, m)
+    row = wi_c // w_words
+    col = (wi_c % w_words) * 32 + m
+    idx = row * width + col
+    return jnp.where(q <= n, idx, jnp.int32(fill)), n
+
+
+@partial(jax.jit, static_argnames=("width", "max_runs"))
+def _runs_from_packed_program(packed: jnp.ndarray, *, width: int, max_runs: int):
+    """[..., R, W]-word packed masks -> horizontal runs as flat row-major
+    indices of each run's first and LAST on-pixel (the layout
+    ccl_stats_runs / connected_components_with_stats_runs consume), plus
+    run counts. Runs beyond `max_runs` are truncated — callers fall back to
+    transferring the packed mask for those recordings.
+
+    A separate program from the detect mask on purpose: fusing bit-level
+    run extraction into the STFT/morphology program sent the XLA compile
+    from ~30 s to 289 s (measured)."""
+
+    def one(words):
+        u = jax.lax.bitcast_convert_type(words, jnp.uint32)
+        r, w_words = u.shape
+        left = jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+        right = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
+        prev_bit = (u >> jnp.uint32(1)) | (left << jnp.uint32(31))
+        next_bit = (u << jnp.uint32(1)) | (right >> jnp.uint32(31))
+        fill = r * width
+        starts, n = _kth_set_bits_packed(u & ~prev_bit, max_runs, width, fill)
+        lasts, _ = _kth_set_bits_packed(u & ~next_bit, max_runs, width, fill)
+        return starts, lasts, n
+
+    for _ in range(packed.ndim - 2):
+        one = jax.vmap(one)
+    return one(packed)
+
 
 def _pack_bits(m: jnp.ndarray) -> jnp.ndarray:
     """Pack a binary [R, C] mask into int32 words [R, ceil(C/32)], MSB-first.
@@ -161,8 +234,26 @@ def signal_noise(frames, sr, hop_length=281, n_valid_samples=None, n_fft=4096):
         frames, jnp.int32(n_valid_samples), sr=sr, hop_length=hop_length, n_fft=n_fft
     )
     n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
-    stats = connected_components_with_stats_packed(np.asarray(packed), n_frames_total)
+    runs = _runs_from_packed_program(packed, width=n_frames_total, max_runs=MAX_RUNS)
+    stats = _stats_from_mask_outputs((packed,) + runs, n_frames_total)
     return _signals_from_stats(stats, sr, hop_length, n_fft)
+
+
+def _stats_from_mask_outputs(mask_out, width):
+    """Component stats from a (packed, runs_s, runs_e, n_runs) mask program
+    output: the compact run transfer when it fits, else the packed mask
+    (only then is the big array pulled over the wire)."""
+    from audio_analysis_tpu.ops.components import (
+        connected_components_with_stats_runs,
+    )
+
+    packed, runs_s, runs_e, n_runs = mask_out
+    n = int(np.asarray(n_runs))
+    if n <= runs_s.shape[-1]:
+        return connected_components_with_stats_runs(
+            np.asarray(runs_s), np.asarray(runs_e), n, packed.shape[-2], width
+        )
+    return connected_components_with_stats_packed(np.asarray(packed), width)
 
 
 def _fused_detect_core(frames, n_valid, *, sr, hop_length, n_fft):
@@ -220,30 +311,59 @@ def detect_batch_dispatch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096)
     found, flat_sec, packed = _fused_detect_batch_program(
         frames_batch, n_valid, sr=sr, hop_length=hop_length, n_fft=n_fft
     )
-    return (found, flat_sec, packed, n_valid, frames_batch.shape, sr, hop_length, n_fft)
+    # second (tiny) dispatch: compact the masks to run lists on device so
+    # only KBs cross the wire; async, so it pipelines behind the big program
+    n_frames_total = num_frames(frames_batch.shape[-1], hop_length, n_fft)
+    runs_s, runs_e, n_runs = _runs_from_packed_program(
+        packed, width=n_frames_total, max_runs=MAX_RUNS
+    )
+    return (
+        found, flat_sec, packed, runs_s, runs_e, n_runs,
+        n_valid, frames_batch.shape, sr, hop_length, n_fft,
+    )
 
 
 def detect_batch_finish(handle):
     """Transfer + per-recording CCL (host threads; the C++ op releases the
-    GIL via ctypes). Returns [(length_seconds, signals), ...]."""
+    GIL via ctypes). Returns [(length_seconds, signals), ...].
+
+    Only the compact run lists cross the wire (~128 KB/recording budget);
+    the packed mask is fetched per recording only if its runs overflowed."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from audio_analysis_tpu.ops.components import (
+        connected_components_with_stats_runs,
+    )
     from audio_analysis_tpu.parallel.distributed import local_slice
 
-    found, flat_sec, packed, n_valid, shape, sr, hop_length, n_fft = handle
+    (found, flat_sec, packed, runs_s, runs_e, n_runs,
+     n_valid, shape, sr, hop_length, n_fft) = handle
     # local_slice == np.asarray for single-process arrays; under multi-host
     # each process transfers and post-processes ONLY its own recordings
     found = local_slice(found)
     flat_sec = local_slice(flat_sec)
-    packed = local_slice(packed)
+    n_runs = local_slice(n_runs)
+    runs_s = local_slice(runs_s)
+    runs_e = local_slice(runs_e)
     n_valid_np = local_slice(n_valid)
     n_frames_total = num_frames(shape[-1], hop_length, n_fft)
+    n_bins = packed.shape[-2]
+    B = found.shape[0]
+    budget = runs_s.shape[-1]
+    # rare path: any recording whose runs overflowed needs its packed mask
+    packed_np = local_slice(packed) if any(int(n_runs[b]) > budget for b in range(B)) else None
 
     def one(b):
-        stats = connected_components_with_stats_packed(packed[b], n_frames_total)
+        if int(n_runs[b]) <= budget:
+            stats = connected_components_with_stats_runs(
+                runs_s[b], runs_e[b], int(n_runs[b]), n_bins, n_frames_total
+            )
+        else:
+            stats = connected_components_with_stats_packed(
+                packed_np[b], n_frames_total
+            )
         return _signals_from_stats(stats, sr, hop_length, n_fft)
 
-    B = packed.shape[0]
     with ThreadPoolExecutor(max_workers=min(8, B)) as ex:
         all_signals = list(ex.map(one, range(B)))
     out = []
@@ -298,10 +418,11 @@ def detect(frames, sr, n_valid_samples=None, hop_length=281, n_fft=4096):
     found, flat_sec, packed = _fused_detect_program(
         frames, jnp.int32(n_valid_samples), sr=sr, hop_length=hop_length, n_fft=n_fft
     )
+    n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
+    runs = _runs_from_packed_program(packed, width=n_frames_total, max_runs=MAX_RUNS)
     found = bool(np.asarray(found))
     length = int(np.asarray(flat_sec)) if found else n_valid_samples / sr
-    n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
-    stats = connected_components_with_stats_packed(np.asarray(packed), n_frames_total)
+    stats = _stats_from_mask_outputs((packed,) + runs, n_frames_total)
     return length, _signals_from_stats(stats, sr, hop_length, n_fft)
 
 

@@ -1,0 +1,297 @@
+"""Lossless PCM wire codec: host-packed residual blocks, device unpack.
+
+Why this exists: on a remote-attached TPU (RPC tunnel) the host->device PCM
+upload is the serving bottleneck — the streamed batch pipeline measures
+within ~5% of the raw wire rate for int16 uploads (see bench.py r2/r3 and
+docs/PERFORMANCE.md). Raw 16-bit PCM is not the information floor for field
+recordings: after an order-1/2 linear predictor most 512-sample blocks need
+well under 16 bits per residual (this is the "shorten"/FLAC-fixed-predictor
+observation). So the host packs zigzag residuals at a per-block bit width
+and the TPU unpacks + integrates — trading abundant VPU cycles for scarce
+wire bytes. Decode is exact: bit-for-bit the original int16 samples.
+
+Design constraints (TPU/XLA):
+- static shapes: blocks are grouped by bit width on host; each width's
+  stream is a dense [n_blocks_w, 16*w]-word matrix padded to a size bucket,
+  so the decode program recompiles only per bucket profile, not per batch;
+- no data-dependent gathers: within a width the bit positions of the 512
+  samples are compile-time constants (a block is always exactly 16*w words:
+  512*w/32), so unpacking is constant-index takes + shifts; block reassembly
+  is one row scatter; the order-k integrator is k exclusive cumsums — all
+  dense vector ops;
+- int32 words on the wire (measured ~2x faster than the same bytes as
+  uint8 on this backend; see detect/signal_noise._pack_bits).
+
+The reference has no analog (it reads local files, src/common.py:70-96);
+this is new TPU-serving machinery. Used by pipeline.serve.BatchAnalyzer and
+pipeline.classify for int16 inputs (AAT_WIRE_CODEC=0 disables).
+"""
+
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BLOCK = 512  # samples per block; 512/32=16 -> a block is exactly 16*w words
+# any integer width gives a whole number of words per block; 19..31 can't
+# occur (order<=3 residuals of int16 zigzag to < 2**20) and 32 is the escape
+_WIDTHS = tuple(range(0, 21)) + (32,)
+
+
+class EncodedPCM(NamedTuple):
+    """Host-side encoded batch. `tiers` maps width -> (positions, words):
+    positions int32 [n_padded] (block index into the [B*T/BLOCK] grid; pads
+    point one past the end), words int32 [n_padded, 16*w]."""
+
+    shape: tuple  # (B, T) original int16 shape, T % BLOCK == 0 after pad
+    n_valid: int  # T before padding (per row)
+    order: int  # predictor order (1 or 2)
+    tiers: dict
+
+
+def _zigzag(r: np.ndarray) -> np.ndarray:
+    return ((r << 1) ^ (r >> 31)).astype(np.uint32)
+
+
+def _unzigzag_np(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.uint32)
+    return ((z >> 1).astype(np.int32)) ^ -(z & 1).astype(np.int32)
+
+
+def _residual(x: np.ndarray, order: int) -> np.ndarray:
+    """Order-k delta along axis=1 with per-row warmup samples kept raw."""
+    r = x.astype(np.int32)
+    for _ in range(order):
+        r = np.concatenate([r[:, :1], np.diff(r, axis=1)], axis=1)
+    return r
+
+
+def _pack_words(z: np.ndarray, w: int) -> np.ndarray:
+    """[n, BLOCK] uint32 values (each < 2**w) -> [n, 16*w] int32 words,
+    MSB-first bitstream. np.packbits does the bit assembly in C; chunked to
+    bound the transient bit matrix."""
+    n = z.shape[0]
+    out = np.empty((n, 16 * w), np.uint32)
+    shifts = (w - 1 - np.arange(w)).astype(np.uint32)
+    step = max(1, (1 << 26) // (BLOCK * w))  # ~64MB transient per chunk
+    for i in range(0, n, step):
+        zi = z[i : i + step]
+        bits = ((zi[:, :, None] >> shifts) & 1).astype(np.uint8)
+        packed = np.packbits(bits.reshape(zi.shape[0], BLOCK * w), axis=-1)
+        out[i : i + step] = (
+            packed.view(">u4").astype(np.uint32).reshape(zi.shape[0], 16 * w)
+        )
+    return out.view(np.int32)
+
+
+def _bucket(n: int) -> int:
+    """Pad tier row counts to coarse buckets to bound decode recompiles:
+    powers of two plus half-steps (64, 96, 128, 192, ...) — <=33% pad waste,
+    ~2 program shapes per octave."""
+    if n <= 64:
+        return 64
+    p = 1 << int(np.floor(np.log2(n)))
+    if n <= p + p // 2:
+        return p + p // 2 if n > p else p
+    return 2 * p
+
+
+def encode_pcm(x: np.ndarray, order: int = None) -> EncodedPCM:
+    """Encode an int16 [B, T] (or [T]) batch for the wire. Lossless.
+
+    Uses the native (C++) single-pass encoder when available — the numpy
+    path below is the behaviour-identical fallback (and the layout oracle
+    in tests), but it is ~50x slower on the single-core serving hosts."""
+    if x.ndim == 1:
+        x = x[None, :]
+    assert x.dtype == np.int16, x.dtype
+    b, t = x.shape
+    n_valid = t
+    if t % BLOCK:
+        pad = BLOCK - t % BLOCK
+        x = np.pad(x, ((0, 0), (0, pad)))
+        t += pad
+
+    from audio_analysis_tpu.native import load_pcmcodec_library
+
+    lib = load_pcmcodec_library()
+    if lib is not None:
+        return _encode_native(lib, x, b, t, n_valid, order)
+
+    def tiers_for(o):
+        r = _residual(x, o)
+        z = _zigzag(r).reshape(-1, BLOCK)  # [n_blocks, BLOCK]
+        mx = z.max(axis=1)
+        need = np.zeros(len(mx), np.int32)
+        nz = mx > 0
+        need[nz] = np.floor(np.log2(mx[nz].astype(np.float64))).astype(np.int32) + 1
+        widths = np.asarray(_WIDTHS, np.int32)
+        tier = widths[np.searchsorted(widths, need)]
+        total_words = int(sum((tier[tier == w].size * 16 * w) for w in _WIDTHS))
+        return z, tier, total_words
+
+    if order is None:
+        best = None
+        for o in (1, 2, 3):
+            z, tier, words = tiers_for(o)
+            if best is None or words < best[3]:
+                best = (o, z, tier, words)
+        order, z, tier, _ = best
+    else:
+        z, tier, _ = tiers_for(order)
+
+    n_blocks = z.shape[0]
+    tiers = {}
+    for w in _WIDTHS:
+        idx = np.nonzero(tier == w)[0].astype(np.int32)
+        if idx.size == 0 or w == 0:
+            # width-0 blocks (digital silence) are implicit: scatter target
+            # starts zeroed
+            continue
+        npad = _bucket(idx.size)
+        positions = np.full(npad, n_blocks, np.int32)  # pad -> dummy row
+        positions[: idx.size] = idx
+        words = _pack_words(z[idx], w)
+        words = np.pad(words, ((0, npad - idx.size), (0, 0)))
+        tiers[w] = (positions, words)
+    return EncodedPCM((b, t), n_valid, order, tiers)
+
+
+def _encode_native(lib, x, b, t, n_valid, order) -> EncodedPCM:
+    x = np.ascontiguousarray(x)
+    n_blocks = (b * t) // BLOCK
+    widths3 = np.empty((3, n_blocks), np.uint8)
+    lib.widths(x, b, t, widths3)
+    if order is None:
+        totals = [int(widths3[o].astype(np.int64).sum()) for o in range(3)]
+        order = 1 + int(np.argmin(totals))
+    w_chosen = widths3[order - 1]
+
+    # The packer writes each block straight into its padded tier slot
+    # (tier-major layout), so the per-width word matrices are zero-copy
+    # views of one buffer — no post-pack gather (the single-core hosts
+    # can't afford one).
+    present = [int(w) for w in np.unique(w_chosen) if w != 0]
+    tier_rank = np.argsort(w_chosen, kind="stable")  # tier-major block order
+    counts = np.bincount(w_chosen, minlength=33)
+    segments = {}  # w -> (positions int32 [npad], start_word, npad)
+    start = 0
+    flat_words = 0
+    for w in present:
+        n_w = int(counts[w])
+        npad = _bucket(n_w)
+        lo = int(np.searchsorted(w_chosen[tier_rank], w))
+        idx = tier_rank[lo : lo + n_w].astype(np.int32)
+        positions = np.full(npad, n_blocks, np.int32)
+        positions[:n_w] = idx
+        segments[w] = (positions, flat_words, npad, idx)
+        flat_words += npad * 16 * w
+
+    flat = np.zeros(flat_words, np.uint32)  # pad rows stay zero
+    dest = np.zeros(n_blocks, np.int64)
+    for w in present:
+        positions, start_word, npad, idx = segments[w]
+        n_w = len(idx)
+        dest[idx] = start_word + np.arange(n_w, dtype=np.int64) * (16 * w)
+    lib.pack(x, b, t, order, np.ascontiguousarray(w_chosen), dest, flat)
+
+    tiers = {}
+    for w in present:
+        positions, start_word, npad, _ = segments[w]
+        words = flat[start_word : start_word + npad * 16 * w].reshape(npad, 16 * w)
+        tiers[w] = (positions, words.view(np.int32))
+    return EncodedPCM((b, t), n_valid, order, tiers)
+
+
+def wire_bytes(enc: EncodedPCM) -> int:
+    """Bytes this encoding puts on the wire (padded tiers included)."""
+    return sum(p.nbytes + w.nbytes for p, w in enc.tiers.values())
+
+
+@lru_cache(maxsize=32)
+def _unpack_plan(w: int):
+    """Compile-time constants for width-w unpacking: for sample j in a
+    block, its bits live in words wi[j] (and wi[j]+1 when straddling)."""
+    j = np.arange(BLOCK, dtype=np.int64)
+    start = j * w
+    wi = (start // 32).astype(np.int32)
+    off = (start % 32).astype(np.int32)
+    return wi, off
+
+
+def _unpack_words(words: jnp.ndarray, w: int) -> jnp.ndarray:
+    """[n, 16*w] int32 words -> [n, BLOCK] uint32 zigzag values (width w)."""
+    wi, off = _unpack_plan(w)
+    u = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    # append a zero word so wi+1 never reads out of bounds
+    u = jnp.concatenate([u, jnp.zeros((u.shape[0], 1), jnp.uint32)], axis=1)
+    w0 = jnp.take(u, jnp.asarray(wi), axis=1)
+    w1 = jnp.take(u, jnp.asarray(wi + 1), axis=1)
+    offj = jnp.asarray(off, jnp.uint32)[None, :]
+    # value = w bits starting at offj within (w0:w1), MSB-first
+    hi = (w0 << offj) >> jnp.uint32(32 - w)
+    spill = offj + jnp.uint32(w) > 32  # bits continuing into w1
+    lo_shift = jnp.where(spill, jnp.uint32(64 - w) - offj, jnp.uint32(0))
+    lo = jnp.where(spill, w1 >> lo_shift, jnp.uint32(0))
+    return hi | lo
+
+
+def _decode_core(shape, order, tier_widths, *tier_arrays):
+    b, t = shape
+    n_blocks = (b * t) // BLOCK
+    z = jnp.zeros((n_blocks + 1, BLOCK), jnp.uint32)  # +1 dummy pad row
+    for w, positions, words in zip(
+        tier_widths, tier_arrays[::2], tier_arrays[1::2]
+    ):
+        vals = _unpack_words(words, int(w))
+        z = z.at[positions].set(vals)
+    z = z[:-1]
+    r = ((z >> jnp.uint32(1)).astype(jnp.int32)) ^ -(z & jnp.uint32(1)).astype(
+        jnp.int32
+    )
+    r = r.reshape(b, t)
+    for _ in range(order):
+        r = jnp.cumsum(r, axis=1, dtype=jnp.int32)
+    return r.astype(jnp.int16)
+
+
+_decode_jit = partial(jax.jit, static_argnums=(0, 1, 2))(_decode_core)
+
+
+def decode_pcm(enc: EncodedPCM) -> jnp.ndarray:
+    """Decode on the default backend -> int16 [B, T_padded] device array.
+    Slice [:, :enc.n_valid] for the original samples."""
+    widths = tuple(sorted(enc.tiers))
+    arrays = []
+    for w in widths:
+        p, wd = enc.tiers[w]
+        arrays += [jnp.asarray(p), jnp.asarray(wd)]
+    return _decode_jit(enc.shape, enc.order, widths, *arrays)
+
+
+def decode_pcm_np(enc: EncodedPCM) -> np.ndarray:
+    """Pure-numpy reference decode (tests / hosts without a device)."""
+    b, t = enc.shape
+    n_blocks = (b * t) // BLOCK
+    z = np.zeros((n_blocks + 1, BLOCK), np.uint32)
+    for w, (positions, words) in enc.tiers.items():
+        wi, off = _unpack_plan(w)
+        u = np.concatenate(
+            [words.view(np.uint32), np.zeros((words.shape[0], 1), np.uint32)],
+            axis=1,
+        )
+        w0 = u[:, wi]
+        w1 = u[:, wi + 1]
+        offj = off.astype(np.uint32)[None, :]
+        hi = (w0 << offj) >> np.uint32(32 - w)
+        spill = offj + np.uint32(w) > 32
+        lo_shift = np.where(spill, (np.uint32(64 - w) - offj), np.uint32(0))
+        lo = np.where(spill, w1 >> lo_shift, np.uint32(0))
+        z[positions] = hi | lo
+    z = z[:-1]
+    r = _unzigzag_np(z).reshape(b, t)
+    for _ in range(enc.order):
+        r = np.cumsum(r, axis=1, dtype=np.int32)
+    return r.astype(np.int16)

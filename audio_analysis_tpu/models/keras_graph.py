@@ -56,9 +56,16 @@ def _norm_pad2d(p):
 
 
 class KerasModel:
-    """An imported Keras model: ``model(x)`` or ``model.apply(params, x)``."""
+    """An imported Keras model: ``model(x)`` or ``model.apply(params, x)``.
 
-    def __init__(self, config, weights, name_prefix=""):
+    ``compute_dtype="bfloat16"`` runs the graph in bfloat16 (weights cast at
+    use inside the jit, BatchNorm scale/shift computed in float32 from the
+    stored statistics, output cast back to float32). This halves the HBM
+    activation traffic that dominates CNN forwards on TPU; parity bound is
+    pinned by tests/test_keras_import.py::test_bf16_compute_parity. Off by
+    default — float32 keeps strict reference parity."""
+
+    def __init__(self, config, weights, name_prefix="", compute_dtype=None):
         self.config = config
         cfg = config["config"] if "config" in config else config
         self.name = cfg.get("name", "model")
@@ -77,6 +84,9 @@ class KerasModel:
             counts[base] = n + 1
             self._h5key[_layer_name(l)] = base if n == 0 else f"{base}_{n}"
         self.params = {k: [jnp.asarray(a) for a in v] for k, v in weights.items()}
+        self.compute_dtype = (
+            jnp.dtype(compute_dtype) if compute_dtype not in (None, "float32") else None
+        )
         self._class = config.get("class_name", "Functional")
         if self._class == "Sequential":
             self._output_spec = None
@@ -95,26 +105,40 @@ class KerasModel:
     # -- construction -------------------------------------------------------
 
     @classmethod
-    def load(cls, path) -> "KerasModel":
+    def load(cls, path, compute_dtype=None) -> "KerasModel":
         config, weights = read_keras_archive(path)
-        return cls(config, weights)
+        return cls(config, weights, compute_dtype=compute_dtype)
 
     # -- execution ----------------------------------------------------------
 
     def __call__(self, x):
         return self.apply(self.params, x)
 
+    def _cast_in(self, x):
+        cdt = self.compute_dtype
+        if cdt is None or not hasattr(x, "astype"):
+            return x
+        return x.astype(cdt) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    def _cast_out(self, y):
+        if self.compute_dtype is None:
+            return y
+        if isinstance(y, (list, tuple)):
+            return type(y)(self._cast_out(o) for o in y)
+        return y.astype(jnp.float32) if jnp.issubdtype(y.dtype, jnp.floating) else y
+
     def apply(self, params, x):
         """Run the graph. `x` is one input array (or list for multi-input)."""
         if self._class == "Sequential":
-            y = x
+            y = self._cast_in(x)
             for layer in self._layers:
                 if layer["class_name"] == "InputLayer":
                     continue
                 y = self._run_layer(layer, [y], params)
-            return y
+            return self._cast_out(y)
 
         inputs = x if isinstance(x, (list, tuple)) else [x]
+        inputs = [self._cast_in(i) for i in inputs]
         values = {}  # (layer_name, node_idx, tensor_idx) -> array
         for name, inp in zip(self._input_names, inputs):
             values[(name, 0, 0)] = inp
@@ -153,7 +177,7 @@ class KerasModel:
             values[(name, node_idx, tensor_idx)]
             for name, node_idx, tensor_idx in self._output_spec
         ]
-        return outs[0] if len(outs) == 1 else outs
+        return self._cast_out(outs[0] if len(outs) == 1 else outs)
 
     # -- per-layer dispatch --------------------------------------------------
 
@@ -161,11 +185,24 @@ class KerasModel:
         key = self._prefix + self._h5key[layer_name]
         return params.get(key, [])
 
+    def _vars_compute(self, params, layer_name):
+        """Like _vars, but cast to the compute dtype at use — INSIDE the
+        jitted program, where the cast fuses (weight bytes are dwarfed by
+        the halved activation traffic). BatchNorm keeps float32 statistics
+        and is handled separately in its branch."""
+        v = self._vars(params, layer_name)
+        cdt = self.compute_dtype
+        if cdt is None:
+            return v
+        return [
+            a.astype(cdt) if jnp.issubdtype(a.dtype, jnp.floating) else a for a in v
+        ]
+
     def _run_layer(self, layer, args, params):
         cls = layer["class_name"]
         cfg = layer["config"]
         name = _layer_name(layer)
-        v = self._vars(params, name)
+        v = self._vars_compute(params, name)
         x = args[0]
 
         if cls in ("Dropout", "SpatialDropout2D", "GaussianNoise", "GaussianDropout", "Identity", "ActivityRegularization"):
@@ -218,15 +255,30 @@ class KerasModel:
         if cls == "BatchNormalization":
             scale = cfg.get("scale", True)
             center = cfg.get("center", True)
+            vf = self._vars(params, name)  # float32 statistics, uncast
             i = 0
-            gamma = v[i] if scale else None
+            gamma = vf[i] if scale else None
             i += 1 if scale else 0
-            beta = v[i] if center else None
+            beta = vf[i] if center else None
             i += 1 if center else 0
-            mean, var = v[i], v[i + 1]
-            return L.batch_norm(
-                x, mean, var, gamma, beta, eps=cfg.get("epsilon", 1e-3), axis=cfg.get("axis", -1) if not isinstance(cfg.get("axis"), list) else cfg["axis"][0]
-            )
+            mean, var = vf[i], vf[i + 1]
+            eps = cfg.get("epsilon", 1e-3)
+            axis = cfg.get("axis", -1)
+            if isinstance(axis, list):
+                axis = axis[0]
+            if self.compute_dtype is not None:
+                # fold to scale/shift in float32 (rsqrt of bf16 variance
+                # would lose ~3 digits), then apply in the compute dtype —
+                # the [C]-sized fold is free next to the activation pass
+                inv = jax.lax.rsqrt(var + eps)
+                a = inv if gamma is None else gamma * inv
+                b = (0.0 if beta is None else beta) - mean * a
+                shape = [1] * x.ndim
+                shape[axis] = x.shape[axis]
+                a = a.reshape(shape).astype(self.compute_dtype)
+                b = b.reshape(shape).astype(self.compute_dtype)
+                return x * a + b
+            return L.batch_norm(x, mean, var, gamma, beta, eps=eps, axis=axis)
         if cls == "Activation":
             return L.activation(cfg.get("activation"))(x)
         if cls == "ReLU":
@@ -270,7 +322,11 @@ class KerasModel:
         if cls == "Rescaling":
             return x * cfg.get("scale", 1.0) + cfg.get("offset", 0.0)
         if cls == "Normalization":
-            mean, var = v[0], v[1]
+            mean, var = self._vars(params, name)[:2]  # float32 statistics
+            if self.compute_dtype is not None:
+                a = jax.lax.rsqrt(var)
+                b = -mean * a
+                return x * a.astype(self.compute_dtype) + b.astype(self.compute_dtype)
             return (x - mean) / jnp.sqrt(var)
         if cls == "Add":
             return sum(args[0]) if isinstance(args[0], list) else sum(args)
@@ -297,7 +353,10 @@ class KerasModel:
             return jnp.concatenate(a, axis=cfg.get("axis", -1))
         if cls in ("Functional", "Sequential"):
             sub = KerasModel(
-                layer, {}, name_prefix=self._prefix + self._h5key[name] + "/layers/"
+                layer,
+                {},
+                name_prefix=self._prefix + self._h5key[name] + "/layers/",
+                compute_dtype=self.compute_dtype,
             )
             return sub.apply(params, x if len(args) == 1 else args)
         raise ValueError(f"unsupported Keras layer {cls} ({name})")

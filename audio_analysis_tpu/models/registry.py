@@ -40,7 +40,14 @@ def load_classifier(model_path, cfg: ModelConfig):
         stamp = max(p.stat().st_mtime for p in model_path.rglob("*")) if model_path.is_dir() else model_path.stat().st_mtime
     except (OSError, ValueError):
         stamp = 0
-    key = (str(model_path.resolve()), stamp)
+    import os
+
+    key = (
+        str(model_path.resolve()),
+        stamp,
+        (cfg.raw or {}).get("net_dtype"),
+        os.environ.get("AAT_KERAS_BF16", "0"),
+    )
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]
     model = _load_classifier_uncached(model_path, cfg)
@@ -85,5 +92,13 @@ def _load_classifier_uncached(model_path, cfg: ModelConfig):
     # Keras archive (file or dir containing one)
     from audio_analysis_tpu.models.keras_graph import KerasModel
 
-    km = KerasModel.load(model_path)
+    # compute dtype: metadata "net_dtype" wins; AAT_KERAS_BF16=1 flips the
+    # default to bfloat16 (throughput knob — float32 keeps strict parity
+    # with the reference's TF runtime; bound in test_keras_import.py)
+    import os
+
+    cdt = (cfg.raw or {}).get("net_dtype")
+    if cdt is None and os.environ.get("AAT_KERAS_BF16", "0").lower() in ("1", "true", "on"):
+        cdt = "bfloat16"
+    km = KerasModel.load(model_path, compute_dtype=cdt)
     return _JittedModel(km.apply, km.params)

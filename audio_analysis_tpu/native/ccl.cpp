@@ -144,6 +144,31 @@ extern "C" int64_t ccl_stats_packed(const uint8_t* packed, int64_t h,
   return finish_ccl(kept, row_first, h, out);
 }
 
+// Run-list variant: the device already extracted horizontal runs (see
+// detect/signal_noise._mask_runs) so only ~KBs cross the wire instead of
+// the ~2.6 MB packed mask. starts/ends are flat row-major indices
+// (row*w + col, end exclusive within the row), sorted ascending (the
+// device nonzero order), n_runs of them; entries beyond n_runs ignored.
+extern "C" int64_t ccl_stats_runs(const int32_t* starts, const int32_t* ends,
+                                  int64_t n_runs, int64_t h, int64_t w,
+                                  int64_t* out) {
+  std::vector<Run> runs;
+  runs.reserve(static_cast<size_t>(n_runs));
+  std::vector<int64_t> row_first(h + 1, -1);
+  for (int64_t i = 0; i < n_runs; ++i) {
+    const int64_t s = starts[i];
+    const int64_t e = ends[i];  // flat index of the run's LAST pixel
+    const int64_t y = s / w;
+    const int64_t x0 = s - y * w;
+    const int64_t x1 = e - y * w + 1;  // exclusive
+    if (y < 0 || y >= h || x1 <= x0 || x1 > w) continue;
+    if (row_first[y] < 0) row_first[y] = static_cast<int64_t>(runs.size());
+    runs.push_back({y, x0, x1});
+  }
+  row_first[h] = static_cast<int64_t>(runs.size());
+  return finish_ccl(runs, row_first, h, out);
+}
+
 namespace {
 
 int64_t finish_ccl(std::vector<Run>& runs, std::vector<int64_t>& row_first,

@@ -55,6 +55,11 @@ class _UnionFind:
 
 def _connected_components_numpy(mask: np.ndarray) -> np.ndarray:
     rows, starts, ends = _runs_of_rows(mask)
+    return _ccl_from_runs(rows, starts, ends)
+
+
+def _ccl_from_runs(rows, starts, ends) -> np.ndarray:
+    """Union-find over row-major-ordered horizontal runs (end exclusive)."""
     n_runs = len(rows)
     if n_runs == 0:
         return np.zeros((0, 5), dtype=np.int64)
@@ -142,3 +147,26 @@ def connected_components_with_stats_packed(packed: np.ndarray, width: int) -> np
         return out[:n]
     mask = np.unpackbits(packed, axis=1)[:, :width] > 0
     return _connected_components_numpy(mask)
+
+
+def connected_components_with_stats_runs(
+    starts: np.ndarray, ends: np.ndarray, n_runs: int, h: int, w: int
+) -> np.ndarray:
+    """Same stats, from device-extracted horizontal runs: `starts`/`ends`
+    are flat row-major pixel indices of each run's first/LAST on-pixel,
+    ascending (the device nonzero order; see detect.signal_noise._mask_runs).
+    Only ~n_runs*8 bytes cross the wire instead of the packed mask."""
+    n_runs = int(n_runs)
+    starts = np.ascontiguousarray(starts[:n_runs], dtype=np.int32)
+    ends = np.ascontiguousarray(ends[:n_runs], dtype=np.int32)
+    lib = load_ccl_library()
+    if lib is not None and getattr(lib, "_fn_runs", None) is not None:
+        out = np.zeros((n_runs + 1, 5), dtype=np.int64)
+        n = lib.ccl_stats_runs(starts, ends, n_runs, int(h), int(w), out)
+        return out[:n]
+    rows = starts.astype(np.int64) // w
+    return _ccl_from_runs(
+        rows,
+        starts.astype(np.int64) - rows * w,
+        ends.astype(np.int64) - rows * w + 1,
+    )

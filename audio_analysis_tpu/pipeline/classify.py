@@ -267,7 +267,16 @@ def classify_frames(
     # dominant single-recording latency cost is this upload
     frames_np = np.asarray(frames)
     if frames_np.dtype == np.int16:
-        frames_dev = jnp.asarray(frames_np)
+        from audio_analysis_tpu.pipeline.serve import _wire_codec_enabled
+
+        if _wire_codec_enabled():
+            # lossless wire codec: ~1.5x less upload wall-time (see
+            # io/pcmcodec.py); decode is exact so downstream is unchanged
+            from audio_analysis_tpu.io.pcmcodec import encode_pcm, decode_pcm
+
+            frames_dev = decode_pcm(encode_pcm(frames_np))[0, : len(frames_np)]
+        else:
+            frames_dev = jnp.asarray(frames_np)
     else:
         frames_dev = jnp.asarray(frames_np, dtype=jnp.float32)
     # fused end-scan + detection: one device round trip

@@ -49,6 +49,12 @@ from audio_analysis_tpu.pipeline.cacophony import (
 from audio_analysis_tpu.models.registry import load_classifier
 
 
+def _wire_codec_enabled():
+    import os
+
+    return os.environ.get("AAT_WIRE_CODEC", "1").lower() not in ("0", "off", "false")
+
+
 class BatchAnalyzer:
     """Warm serving handle: analyse lists of recordings efficiently."""
 
@@ -119,12 +125,26 @@ class BatchAnalyzer:
         # (bit-identical to the 16-bit decode scaling); mixed input falls
         # back to float32.
         all_i16 = all(np.asarray(r).dtype == np.int16 for r in recordings)
+        use_codec = all_i16 and not self._multihost and _wire_codec_enabled()
+        if use_codec:
+            # the wire codec works on 512-sample blocks; a slightly larger
+            # bucket is invisible downstream (n_valid masks everything)
+            t_bucket = -(-t_bucket // 512) * 512
         dtype = np.int16 if all_i16 else np.float32
         stacked = np.zeros((B, t_bucket), dtype)
         n_valid = np.zeros(B, np.int32)
         for i, r in enumerate(recordings):
             stacked[i, : len(r)] = r
             n_valid[i] = len(r)
+        if use_codec:
+            # lossless residual codec + multi-stream tier upload + on-device
+            # unpack: measured 1.5x faster than the raw int16 device_put for
+            # an 8x60s batch on the tunnel-attached chip (io/pcmcodec.py)
+            from audio_analysis_tpu.io.pcmcodec import encode_pcm, decode_pcm
+
+            frames_dev = decode_pcm(encode_pcm(stacked))
+            detect_handle = detect_batch_dispatch(frames_dev, n_valid, sr)
+            return (detect_handle, frames_dev, n_valid, t_bucket, B, sr)
         if self._multihost:
             from audio_analysis_tpu.parallel.distributed import make_global_batch
             from jax.sharding import PartitionSpec as P

@@ -169,3 +169,28 @@ def test_magtransform_v1_scalar(tmp_path, rng):
     km = KerasModel.load(p)
     ours = np.asarray(km(jnp.asarray(data)))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_compute_parity(tmp_path, rng, magtransform_cls):
+    """compute_dtype='bfloat16' (the AAT_KERAS_BF16 / net_dtype knob) must
+    track the float32 graph: same argmax, probabilities within bf16 noise.
+    BatchNorm/Normalization statistics must stay float32 internally."""
+    inp = tf.keras.Input((32, 24, 1))
+    x = magtransform_cls()(inp)
+    x = tf.keras.layers.Conv2D(8, 3, strides=2, padding="same")(x)
+    x = tf.keras.layers.BatchNormalization()(x)
+    x = tf.keras.layers.ReLU()(x)
+    x = tf.keras.layers.DepthwiseConv2D(3, padding="same")(x)
+    x = tf.keras.layers.BatchNormalization()(x)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(5, activation="softmax")(x)
+    model = tf.keras.Model(inp, out)
+    p = str(tmp_path / "m.keras")
+    model.save(p)
+
+    data = np.abs(rng.randn(8, 32, 24, 1)).astype(np.float32)
+    f32 = np.asarray(KerasModel.load(p)(jnp.asarray(data)))
+    bf16 = np.asarray(KerasModel.load(p, compute_dtype="bfloat16")(jnp.asarray(data)))
+    assert bf16.dtype == np.float32  # cast back at the boundary
+    assert (bf16.argmax(-1) == f32.argmax(-1)).all()
+    np.testing.assert_allclose(bf16, f32, atol=0.03)

@@ -1,0 +1,136 @@
+"""PCM wire codec (io/pcmcodec.py + native/pcmcodec.cpp) and compact mask
+runs (detect/signal_noise._mask_runs + native ccl_stats_runs).
+
+The codec must be bit-exact (it feeds the detection STFT directly); the
+native encoder must produce byte-identical layouts to the numpy fallback
+(the fallback is the layout oracle)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import audio_analysis_tpu.io.pcmcodec as pc
+import audio_analysis_tpu.native as nat
+
+
+def _cases(rng):
+    t = 48000
+    return {
+        "white_quiet": np.clip(rng.randn(3, 2 * t) * 328, -32768, 32767).astype(np.int16),
+        "tone": (np.sin(2 * np.pi * 2800 * np.arange(2 * t) / t) * 20000).astype(np.int16)[None],
+        "silence": np.zeros((2, t), np.int16),
+        "extreme_alternation": np.asarray([[-32768, 32767] * (t // 2)], np.int16),
+        "mixed": np.concatenate(
+            [
+                np.zeros((1, t // 2), np.int16),
+                np.clip(rng.randn(1, t // 2) * 9000, -32768, 32767).astype(np.int16),
+            ],
+            axis=1,
+        ),
+        "odd_length": np.clip(rng.randn(1, t + 13) * 1000, -32768, 32767).astype(np.int16),
+        "single_row_1d": np.clip(rng.randn(t) * 100, -32768, 32767).astype(np.int16),
+    }
+
+
+@pytest.mark.parametrize("order", [None, 1, 2, 3])
+def test_roundtrip_exact(rng, order):
+    for name, x in _cases(rng).items():
+        enc = pc.encode_pcm(x, order=order)
+        xb = x if x.ndim == 2 else x[None]
+        dec = pc.decode_pcm_np(enc)[:, : enc.n_valid]
+        assert np.array_equal(dec, xb), (name, order, "numpy")
+        dev = np.asarray(pc.decode_pcm(enc))[:, : enc.n_valid]
+        assert np.array_equal(dev, xb), (name, order, "device")
+
+
+def test_native_matches_numpy_fallback_layout(rng):
+    if nat.load_pcmcodec_library() is None:
+        pytest.skip("no native toolchain")
+    for name, x in _cases(rng).items():
+        if x.ndim == 1:
+            x = x[None]
+        for order in (1, 2, 3):
+            en = pc.encode_pcm(np.ascontiguousarray(x), order=order)
+            saved = nat._LIBS.get("pcmcodec")
+            nat._LIBS["pcmcodec"] = None
+            try:
+                ef = pc.encode_pcm(np.ascontiguousarray(x), order=order)
+            finally:
+                nat._LIBS["pcmcodec"] = saved
+            assert en.shape == ef.shape and en.order == ef.order, name
+            assert sorted(en.tiers) == sorted(ef.tiers), name
+            for w in en.tiers:
+                assert np.array_equal(en.tiers[w][0], ef.tiers[w][0]), (name, w)
+                assert np.array_equal(en.tiers[w][1], ef.tiers[w][1]), (name, w)
+
+
+def test_band_limited_audio_compresses(rng):
+    # band-limited content (every real recording) must beat raw int16
+    t = np.arange(4 * 48000) / 48000
+    x = np.zeros_like(t)
+    for f, a in ((400, 0.05), (900, 0.03), (2500, 0.01)):
+        x += a * np.sin(2 * np.pi * f * t)
+    x = (x * 32767).astype(np.int16)[None]
+    enc = pc.encode_pcm(x)
+    assert x.nbytes / pc.wire_bytes(enc) > 1.8
+    assert np.array_equal(pc.decode_pcm_np(enc)[:, : enc.n_valid], x)
+
+
+def _device_runs(m, max_runs):
+    from audio_analysis_tpu.detect.signal_noise import (
+        _pack_bits,
+        _runs_from_packed_program,
+    )
+
+    packed = _pack_bits(jnp.asarray(m, jnp.float32))
+    return _runs_from_packed_program(
+        packed, width=m.shape[1], max_runs=max_runs
+    )
+
+
+def test_mask_runs_match_numpy(rng):
+    from audio_analysis_tpu.ops.components import (
+        connected_components_with_stats_runs,
+        connected_components_with_stats,
+    )
+
+    for _ in range(5):
+        m = (rng.rand(64, 200) < 0.15).astype(np.float32)
+        starts, lasts, n = _device_runs(m, 4096)
+        n = int(n)
+        assert n <= 4096
+        got = connected_components_with_stats_runs(
+            np.asarray(starts), np.asarray(lasts), n, 64, 200
+        )
+        want = connected_components_with_stats(m)
+        got = sorted(map(tuple, got.tolist()))
+        want = sorted(map(tuple, want.tolist()))
+        assert got == want
+
+
+def test_mask_runs_overflow_reports_count():
+    # alternating columns: one run per (row, on-column) pair
+    m = np.zeros((8, 64), np.float32)
+    m[:, ::2] = 1.0
+    starts, lasts, n = _device_runs(m, 16)
+    assert int(n) == 8 * 32  # true count, beyond the budget
+    assert starts.shape == (16,)
+
+
+def test_ccl_runs_native_matches_numpy(rng):
+    from audio_analysis_tpu.ops.components import (
+        connected_components_with_stats_runs,
+        _ccl_from_runs,
+        _runs_of_rows,
+    )
+
+    lib = nat.load_ccl_library()
+    if lib is None or getattr(lib, "_fn_runs", None) is None:
+        pytest.skip("no native toolchain")
+    m = (rng.rand(50, 120) < 0.2)
+    rows, s, e = _runs_of_rows(m)
+    flat_s = (rows * 120 + s).astype(np.int32)
+    flat_last = (rows * 120 + e - 1).astype(np.int32)
+    got = connected_components_with_stats_runs(flat_s, flat_last, len(rows), 50, 120)
+    want = _ccl_from_runs(rows, s, e)
+    assert sorted(map(tuple, got.tolist())) == sorted(map(tuple, want.tolist()))
