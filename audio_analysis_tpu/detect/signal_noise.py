@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from audio_analysis_tpu.ops.stft import stft_magnitude, num_frames
 from audio_analysis_tpu.ops.mel import fft_frequencies, mel_spec
-from audio_analysis_tpu.ops.morphology import dilate, erode
+from audio_analysis_tpu.ops.morphology import packed_dilate, packed_erode
 from audio_analysis_tpu.ops.components import connected_components_with_stats_packed
 from audio_analysis_tpu.detect.signal import Signal, SIGNAL_WIDTH
 
@@ -103,7 +103,7 @@ def _signal_mask(frames, n_valid, *, sr, hop_length, n_fft):
     column_medians = _masked_median_fast(spec, bins, axis=0)  # [1, T]
 
     mask = (spec > 3 * column_medians) & (spec > 3 * row_medians)
-    mask = (mask & col_valid[None, :]).astype(jnp.float32)
+    mask = mask & col_valid[None, :]
 
     # structuring element sizes (host-static)
     width = int(SIGNAL_WIDTH * sr / hop_length)
@@ -114,16 +114,26 @@ def _signal_mask(frames, n_valid, *, sr, hop_length, n_fft):
             height = i + 1
             break
 
-    def set_invalid(m, value):
-        return jnp.where(col_valid[None, :], m, value)
+    # Morphology on the bit-packed mask (ops/morphology.py packed_*):
+    # binary, so shift+OR/AND doubling over int32 words is EXACTLY the
+    # float reduce_window path (pinned by test_ops_cv) at 1/32 the HBM
+    # traffic — the six float passes over the [bins, T] mask were ~30% of
+    # the whole detect program. The invalid region (cols >= nvf, plus the
+    # pad bits past T) is set to each op's identity between stages, exactly
+    # like the float path's set_invalid, via one packed col_valid row.
+    u = jax.lax.bitcast_convert_type(_pack_bits(mask), jnp.uint32)
+    cv = jax.lax.bitcast_convert_type(
+        _pack_bits(col_valid[None, :]), jnp.uint32
+    )  # [1, W]; pad bits 0
+    inv = ~cv  # invalid columns and pad bits
 
     # MORPH_OPEN 4x4 == erode then dilate
-    m = erode(set_invalid(mask, 1.0), 4, 4)
-    m = dilate(set_invalid(m, 0.0), 4, 4)
-    m = dilate(set_invalid(m, 0.0), height, width)
-    m = erode(set_invalid(m, 1.0), height // 10, width)
-    m = set_invalid(m, 0.0)
-    return _pack_bits(m)
+    u = packed_erode(u | inv, 4, 4)
+    u = packed_dilate(u & cv, 4, 4)
+    u = packed_dilate(u & cv, height, width)
+    u = packed_erode(u | inv, height // 10, width)
+    u = u & cv
+    return jax.lax.bitcast_convert_type(u, jnp.int32)
 
 
 _signal_mask_program = partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft"))(

@@ -23,8 +23,11 @@ Design constraints (TPU/XLA):
   uint8 on this backend; see detect/signal_noise._pack_bits).
 
 The reference has no analog (it reads local files, src/common.py:70-96);
-this is new TPU-serving machinery. Used by pipeline.serve.BatchAnalyzer and
-pipeline.classify for int16 inputs (AAT_WIRE_CODEC=0 disables).
+this is new TPU-serving machinery. Default ON for the single-recording
+classify path (upload is its dominant serial cost), default OFF for batch
+serving where the streamed pipeline hides the raw upload but not the
+host-blocking encode (AAT_WIRE_CODEC overrides both; measurements in
+pipeline/serve._wire_codec_enabled).
 """
 
 from functools import lru_cache, partial

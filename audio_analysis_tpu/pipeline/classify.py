@@ -269,7 +269,7 @@ def classify_frames(
     if frames_np.dtype == np.int16:
         from audio_analysis_tpu.pipeline.serve import _wire_codec_enabled
 
-        if _wire_codec_enabled():
+        if _wire_codec_enabled(default="1"):
             # lossless wire codec: ~1.5x less upload wall-time (see
             # io/pcmcodec.py); decode is exact so downstream is unchanged
             from audio_analysis_tpu.io.pcmcodec import encode_pcm, decode_pcm

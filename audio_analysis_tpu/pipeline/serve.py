@@ -49,10 +49,18 @@ from audio_analysis_tpu.pipeline.cacophony import (
 from audio_analysis_tpu.models.registry import load_classifier
 
 
-def _wire_codec_enabled():
+def _wire_codec_enabled(default="0"):
+    """AAT_WIRE_CODEC gates the lossless PCM wire codec (io/pcmcodec.py).
+
+    Measured on the tunnel chip (8x60s batches): the codec's host-side
+    encode (~200 ms) sits in the dispatch critical path, which the streamed
+    pipeline cannot hide — batch serving is faster with the raw int16
+    device_put (364 vs 340 audio-s/s), so `default` is off there; the
+    single-recording latency path has no pipelining to hide its upload and
+    is faster WITH the codec (0.34 vs 0.37 s), so classify passes "1"."""
     import os
 
-    return os.environ.get("AAT_WIRE_CODEC", "1").lower() not in ("0", "off", "false")
+    return os.environ.get("AAT_WIRE_CODEC", default).lower() not in ("0", "off", "false")
 
 
 class BatchAnalyzer:

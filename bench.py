@@ -168,9 +168,11 @@ def _force(x):
 V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
 
 
-def bench_mfu(effnet_dir, sr=48000):
+def bench_mfu(effnet_dir, sr=48000, bf16=False):
     """Windows/s + MFU of the fused gather->frontend->EfficientNetB0->means
-    program on a dense 256-window grid (the hot kernel in isolation)."""
+    program on a dense 256-window grid (the hot kernel in isolation).
+    `bf16` loads the model on the bfloat16 compute path (AAT_KERAS_BF16)."""
+    import os
     import jax
     import jax.numpy as jnp
     from audio_analysis_tpu.io.modelconfig import ModelConfig
@@ -178,7 +180,12 @@ def bench_mfu(effnet_dir, sr=48000):
     from audio_analysis_tpu.pipeline.classify import _fused_group_program
 
     cfg = ModelConfig.load(Path(effnet_dir))
-    model = load_classifier(Path(effnet_dir), cfg)
+    if bf16:
+        os.environ["AAT_KERAS_BF16"] = "1"
+    try:
+        model = load_classifier(Path(effnet_dir), cfg)
+    finally:
+        os.environ.pop("AAT_KERAS_BF16", None)
     n_windows = 256
     sample_size = int(cfg.segment_length * sr)
     frames = jnp.asarray(
@@ -333,6 +340,7 @@ def main():
         effnet = {
             "throughput_audio_s_per_s": round(eff_tp, 2),
             **bench_mfu(effnet_dir, sr=sr),
+            "bf16": bench_mfu(effnet_dir, sr=sr, bf16=True),
         }
 
     latency = bench_latency(models, sr=sr)

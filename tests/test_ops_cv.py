@@ -98,3 +98,46 @@ def test_ccl_shapes():
     m[2:5, 3:7] = 1
     s = connected_components_with_stats(m)
     np.testing.assert_array_equal(s, [[3, 2, 4, 3, 12]])
+
+
+# -- packed-word binary morphology (the detect program's fast path) ----------
+
+
+def _pack_u32(m):
+    from audio_analysis_tpu.detect.signal_noise import _pack_bits
+    import jax
+
+    return jax.lax.bitcast_convert_type(
+        _pack_bits(jnp.asarray(m.astype(np.float32))), jnp.uint32
+    )
+
+
+def _unpack_u32(u, width):
+    words = np.asarray(u).view(np.uint32)
+    bits = np.unpackbits(words.byteswap().view(np.uint8).reshape(words.shape[0], -1), axis=1)
+    return bits[:, :width]
+
+
+@pytest.mark.parametrize("kh,kw", [(4, 4), (10, 42), (1, 42), (3, 3), (2, 5), (1, 97)])
+@pytest.mark.parametrize("w", [128, 150, 33])
+def test_packed_dilate_matches_cv2(rng, kh, kw, w):
+    from audio_analysis_tpu.ops.morphology import packed_dilate
+
+    m = _rand_mask(rng, 64, w)
+    ref = cv2.dilate(m, np.ones((kh, kw), np.uint8))
+    got = _unpack_u32(packed_dilate(_pack_u32(m), kh, kw), w)
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("kh,kw", [(4, 4), (10, 42), (1, 42), (3, 3), (2, 5), (1, 97)])
+@pytest.mark.parametrize("w", [128, 150, 33])
+def test_packed_erode_matches_cv2(rng, kh, kw, w):
+    from audio_analysis_tpu.ops.morphology import packed_erode
+
+    m = _rand_mask(rng, 64, w, p=0.85)
+    ref = cv2.erode(m, np.ones((kh, kw), np.uint8))
+    u = _pack_u32(m)
+    # pad bits past the logical width must be pre-set (erode contract)
+    ones = _pack_u32(np.ones((1, w), np.uint8))
+    got = _unpack_u32(packed_erode(u | ~ones, kh, kw), w)
+    np.testing.assert_array_equal(got, ref)

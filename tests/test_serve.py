@@ -133,6 +133,21 @@ def test_batch_int16_matches_float(model_dir):
     assert ta == tb
 
 
+def test_batch_wire_codec_matches_raw(model_dir, monkeypatch):
+    """AAT_WIRE_CODEC=1 serving must be byte-identical to the raw int16
+    upload (the codec is lossless and decodes on device)."""
+    import json
+
+    y16 = np.clip(_rec(21) * 32768.0, -32768, 32767).astype(np.int16)
+    recs = [y16, (y16[: len(y16) // 2]).copy()]
+    analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    monkeypatch.setenv("AAT_WIRE_CODEC", "1")
+    a = analyzer.analyse_recordings(recs)
+    monkeypatch.setenv("AAT_WIRE_CODEC", "0")
+    b = analyzer.analyse_recordings(recs)
+    assert json.dumps(a) == json.dumps(b)
+
+
 def test_batch_filter_below_matches_single(tmp_path):
     """Batch serving must apply the per-track band-pass exactly like the
     single-recording path (filter_below configs)."""
