@@ -41,35 +41,31 @@ def _masked_median_fast(x: jnp.ndarray, n_valid, axis: int, keepdims=True) -> jn
     """np.median semantics over the first n_valid entries of `axis` (others
     +inf), exact, via rank selection instead of sort. x must be >= 0.
 
-    Both middle ranks are searched in one loop so each iteration reads the
-    array once (two fused comparisons)."""
+    Only the LOWER middle rank is binary-searched (one array read per
+    iteration); the upper middle element is either the same value (when its
+    count covers rank k2) or the array's successor of it — both derived in
+    one extra fused pass. Halves the HBM traffic of searching both ranks."""
     n_valid = jnp.asarray(n_valid, jnp.int32)
-    k1 = (n_valid - 1) // 2
-    k2 = n_valid // 2
+    red_shape = x.shape[:axis] + x.shape[axis + 1 :]
+    k1 = jnp.broadcast_to((n_valid - 1) // 2, red_shape)
+    k2 = jnp.broadcast_to(n_valid // 2, red_shape)
 
     xi = jax.lax.bitcast_convert_type(x, jnp.int32)
-    red_shape = x.shape[:axis] + x.shape[axis + 1 :]
-    k1 = jnp.broadcast_to(k1, red_shape)
-    k2 = jnp.broadcast_to(k2, red_shape)
     z = jnp.zeros(red_shape, jnp.int32)
     top = jnp.full(red_shape, jnp.int32(2**31 - 1))
 
     def body(_, state):
-        lo1, hi1, lo2, hi2 = state
-        m1 = lo1 + (hi1 - lo1) // 2
-        m2 = lo2 + (hi2 - lo2) // 2
-        c1 = jnp.sum(xi <= jnp.expand_dims(m1, axis), axis=axis).astype(jnp.int32)
-        c2 = jnp.sum(xi <= jnp.expand_dims(m2, axis), axis=axis).astype(jnp.int32)
-        t1 = c1 >= k1 + 1
-        t2 = c2 >= k2 + 1
-        return (
-            jnp.where(t1, lo1, m1 + 1),
-            jnp.where(t1, m1, hi1),
-            jnp.where(t2, lo2, m2 + 1),
-            jnp.where(t2, m2, hi2),
-        )
+        lo, hi = state
+        m = lo + (hi - lo) // 2
+        c = jnp.sum(xi <= jnp.expand_dims(m, axis), axis=axis).astype(jnp.int32)
+        t = c >= k1 + 1
+        return (jnp.where(t, lo, m + 1), jnp.where(t, m, hi))
 
-    lo1, _, lo2, _ = jax.lax.fori_loop(0, 31, body, (z, top, z, top))
+    lo1, _ = jax.lax.fori_loop(0, 31, body, (z, top))
+    m1 = jnp.expand_dims(lo1, axis)
+    cnt = jnp.sum(xi <= m1, axis=axis).astype(jnp.int32)
+    succ = jnp.min(jnp.where(xi > m1, xi, jnp.int32(2**31 - 1)), axis=axis)
+    lo2 = jnp.where(cnt >= k2 + 1, lo1, succ)
     a = jax.lax.bitcast_convert_type(lo1, jnp.float32)
     b = jax.lax.bitcast_convert_type(lo2, jnp.float32)
     med = (a + b) * 0.5

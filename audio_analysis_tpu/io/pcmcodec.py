@@ -23,10 +23,8 @@ Design constraints (TPU/XLA):
   uint8 on this backend; see detect/signal_noise._pack_bits).
 
 The reference has no analog (it reads local files, src/common.py:70-96);
-this is new TPU-serving machinery. Default ON for the single-recording
-classify path (upload is its dominant serial cost), default OFF for batch
-serving where the streamed pipeline hides the raw upload but not the
-host-blocking encode (AAT_WIRE_CODEC overrides both; measurements in
+this is new TPU-serving machinery. Default ON for both serving paths since
+the SIMD encoder rewrite (AAT_WIRE_CODEC=0 reverts; measurements in
 pipeline/serve._wire_codec_enabled).
 """
 

@@ -10,7 +10,15 @@
 // plain cumsum^order) is shared with io/pcmcodec.py's numpy fallback and
 // pinned by tests/test_pcmcodec.py.
 //
-// Built on demand via native/__init__.py (g++ -O3 -shared), ctypes ABI.
+// The residuals are direct finite differences of the input —
+//   r1[i] = x[i] - x[i-1]
+//   r2[i] = x[i] - 2 x[i-1] + x[i-2]
+//   r3[i] = x[i] - 3 x[i-1] + 3 x[i-2] - x[i-3]        (x[<row start] = 0)
+// — written with direct array indexing (NOT a carried previous-sample
+// state) so gcc auto-vectorizes the width scan; the serving hosts have one
+// core, so SIMD is the only parallelism available.
+//
+// Built on demand via native/__init__.py (g++ -O3 -march=native), ctypes.
 
 #include <cstdint>
 #include <cstring>
@@ -29,25 +37,29 @@ inline int width_of(uint32_t maxz) {
   return w > 20 ? 32 : w;  // widths 21..31 cannot occur; 32 is the escape
 }
 
-// order-specialised block packer with running previous-sample state
-// (implicit zeros before the row start, matching numpy
-// diff-with-kept-first-element semantics)
+inline uint32_t umax(uint32_t a, uint32_t b) { return a > b ? a : b; }
+
+// order-specialised block packer; residuals by direct differencing
 template <int kOrder>
 inline void pack_block(const int16_t* x, int64_t row, int64_t s, int w,
                        uint32_t* out) {
-  int32_t p1 = (s - 1 < row) ? 0 : x[s - 1];
-  int32_t p2 = (s - 2 < row) ? 0 : x[s - 2];
-  int32_t p3 = (s - 3 < row) ? 0 : x[s - 3];
   uint64_t acc = 0;
   int nbits = 0;
   for (int64_t i = 0; i < kBlock; ++i) {
-    const int32_t v = x[s + i];
-    int32_t r = v - p1;
-    if (kOrder >= 2) r -= (p1 - p2);
-    if (kOrder >= 3) r -= (p1 - p2) - (p2 - p3);
-    p3 = p2;
-    p2 = p1;
-    p1 = v;
+    const int64_t j = s + i;
+    const int32_t x0 = x[j];
+    const int32_t x1 = (j - 1 >= row) ? x[j - 1] : 0;
+    int32_t r;
+    if (kOrder == 1) {
+      r = x0 - x1;
+    } else if (kOrder == 2) {
+      const int32_t x2 = (j - 2 >= row) ? x[j - 2] : 0;
+      r = x0 - 2 * x1 + x2;
+    } else {
+      const int32_t x2 = (j - 2 >= row) ? x[j - 2] : 0;
+      const int32_t x3 = (j - 3 >= row) ? x[j - 3] : 0;
+      r = x0 - 3 * x1 + 3 * x2 - x3;
+    }
     acc = (acc << w) | zigzag(r);
     nbits += w;
     while (nbits >= 32) {
@@ -73,22 +85,32 @@ int64_t pcm_widths(const int16_t* x, int64_t B, int64_t T,
     for (int64_t k = 0; k < nb_row; ++k) {
       const int64_t s = row + k * kBlock;
       uint32_t m1 = 0, m2 = 0, m3 = 0;
-      // running previous samples (implicit zeros before the row start)
-      int32_t p1 = (k == 0) ? 0 : x[s - 1];
-      int32_t p2 = (s - 2 < row) ? 0 : x[s - 2];
-      int32_t p3 = (s - 3 < row) ? 0 : x[s - 3];
-      for (int64_t i = 0; i < kBlock; ++i) {
-        const int32_t v = x[s + i];
-        const int32_t r1 = v - p1;
-        const int32_t r2 = r1 - (p1 - p2);
-        const int32_t r3 = r2 - ((p1 - p2) - (p2 - p3));
-        const uint32_t z1 = zigzag(r1), z2 = zigzag(r2), z3 = zigzag(r3);
-        if (z1 > m1) m1 = z1;
-        if (z2 > m2) m2 = z2;
-        if (z3 > m3) m3 = z3;
-        p3 = p2;
-        p2 = p1;
-        p1 = v;
+      if (k == 0) {
+        // row start: guard the first 3 samples' out-of-row reads
+        for (int64_t i = 0; i < 3; ++i) {
+          const int32_t x0 = x[s + i];
+          const int32_t x1 = i >= 1 ? x[s + i - 1] : 0;
+          const int32_t x2 = i >= 2 ? x[s + i - 2] : 0;
+          m1 = umax(m1, zigzag(x0 - x1));
+          m2 = umax(m2, zigzag(x0 - 2 * x1 + x2));
+          m3 = umax(m3, zigzag(x0 - 3 * x1 + 3 * x2));
+        }
+      } else {
+        for (int64_t i = 0; i < 3; ++i) {
+          const int32_t x0 = x[s + i], x1 = x[s + i - 1], x2 = x[s + i - 2],
+                        x3 = x[s + i - 3];
+          m1 = umax(m1, zigzag(x0 - x1));
+          m2 = umax(m2, zigzag(x0 - 2 * x1 + x2));
+          m3 = umax(m3, zigzag(x0 - 3 * x1 + 3 * x2 - x3));
+        }
+      }
+      // vectorizable main scan: pure direct loads, no carried state
+      for (int64_t i = 3; i < kBlock; ++i) {
+        const int32_t x0 = x[s + i], x1 = x[s + i - 1], x2 = x[s + i - 2],
+                      x3 = x[s + i - 3];
+        m1 = umax(m1, zigzag(x0 - x1));
+        m2 = umax(m2, zigzag(x0 - 2 * x1 + x2));
+        m3 = umax(m3, zigzag(x0 - 3 * x1 + 3 * x2 - x3));
       }
       const int64_t kk = b * nb_row + k;
       widths_out[kk] = static_cast<uint8_t>(width_of(m1));

@@ -49,15 +49,15 @@ from audio_analysis_tpu.pipeline.cacophony import (
 from audio_analysis_tpu.models.registry import load_classifier
 
 
-def _wire_codec_enabled(default="0"):
+def _wire_codec_enabled(default="1"):
     """AAT_WIRE_CODEC gates the lossless PCM wire codec (io/pcmcodec.py).
 
-    Measured on the tunnel chip (8x60s batches): the codec's host-side
-    encode (~200 ms) sits in the dispatch critical path, which the streamed
-    pipeline cannot hide — batch serving is faster with the raw int16
-    device_put (364 vs 340 audio-s/s), so `default` is off there; the
-    single-recording latency path has no pipelining to hide its upload and
-    is faster WITH the codec (0.34 vs 0.37 s), so classify passes "1"."""
+    Default ON everywhere since the SIMD rewrite of the native encoder
+    (63 ms per 8x60s batch, was ~200 ms): interleaved A/B on the tunnel
+    chip measures codec-on >= codec-off in every window (404 vs 382
+    audio-s/s best, 256 vs 243 worst), and the single-recording latency
+    path is 0.35 vs 0.54 s. Fewer wire bytes also blunt the tunnel's
+    bandwidth swings — the dominant bench noise source."""
     import os
 
     return os.environ.get("AAT_WIRE_CODEC", default).lower() not in ("0", "off", "false")

@@ -333,10 +333,12 @@ def main():
             rng=np.random.RandomState(0),
         )
         eff_analyzer.analyse_recordings(recordings)  # warm
-        t0 = time.perf_counter()
-        for _res in eff_analyzer.analyse_stream([recordings] * 4):
-            pass
-        eff_tp = seconds * 4 / (time.perf_counter() - t0)
+        eff_tp = 0.0
+        for _ in range(2):  # best-of-2 windows (tunnel noise, see `value`)
+            t0 = time.perf_counter()
+            for _res in eff_analyzer.analyse_stream([recordings] * 4):
+                pass
+            eff_tp = max(eff_tp, seconds * 4 / (time.perf_counter() - t0))
         effnet = {
             "throughput_audio_s_per_s": round(eff_tp, 2),
             **bench_mfu(effnet_dir, sr=sr),
