@@ -149,7 +149,18 @@ class HostSavedModel:
     def __call__(self, x):
         out = self._fn(self._tf.constant(np.asarray(x)))
         if isinstance(out, dict):
-            if len(out) != 1:
+            if len(out) == 1:
+                out = next(iter(out.values()))
+            elif len(out) == 2:
+                # the (logits, embedding) embedder contract (reference
+                # src/identify_tracks.py:363, model.infer_tf): pick the
+                # embedding by key name when labelled, else by key order
+                keys = sorted(out)
+                emb = next((k for k in keys if "embed" in k.lower()), keys[1])
+                logits = next(k for k in keys if k != emb)
+                return np.asarray(out[logits]), np.asarray(out[emb])
+            else:
                 raise ValueError(f"ambiguous SavedModel outputs: {sorted(out)}")
-            out = next(iter(out.values()))
+        if isinstance(out, (list, tuple)):
+            return tuple(np.asarray(o) for o in out)
         return np.asarray(out)

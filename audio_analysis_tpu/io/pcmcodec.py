@@ -35,10 +35,29 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+def wire_codec_enabled(default="1"):
+    """AAT_WIRE_CODEC gates the lossless PCM wire codec.
+
+    Default ON since the SIMD rewrite of the native encoder (63 ms per
+    8x60s batch, was ~200 ms): interleaved A/B on the tunnel chip measures
+    codec-on >= codec-off in every window (404 vs 382 audio-s/s best, 256
+    vs 243 worst), and the single-recording latency path is 0.35 vs 0.54 s.
+    Fewer wire bytes also blunt the tunnel's bandwidth swings — the
+    dominant bench noise source."""
+    import os
+
+    return os.environ.get("AAT_WIRE_CODEC", default).lower() not in ("0", "off", "false")
+
+
 BLOCK = 512  # samples per block; 512/32=16 -> a block is exactly 16*w words
-# any integer width gives a whole number of words per block; 19..31 can't
-# occur (order<=3 residuals of int16 zigzag to < 2**20) and 32 is the escape
-_WIDTHS = tuple(range(0, 21)) + (32,)
+# Tier palette: block widths snap UP to one of these. The decode program
+# compiles per (order, widths-present, per-tier bucket) profile; a free
+# 0..20 width range made that profile space recompile-prone on
+# heterogeneous recordings (first compile over the tunnel is 6 s-6 min),
+# while the 10-value palette costs ~2% extra wire. 0 = digital silence
+# (implicit), 32 = the escape (orders<=3 zigzag residuals fit 20 bits
+# except pathological alternation).
+_WIDTHS = (0, 4, 6, 8, 10, 12, 14, 16, 20, 32)
 
 
 class EncodedPCM(NamedTuple):

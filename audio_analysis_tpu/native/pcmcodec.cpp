@@ -33,8 +33,18 @@ inline uint32_t zigzag(int32_t v) {
 
 inline int width_of(uint32_t maxz) {
   if (maxz == 0) return 0;
-  int w = 32 - __builtin_clz(maxz);
-  return w > 20 ? 32 : w;  // widths 21..31 cannot occur; 32 is the escape
+  const int w = 32 - __builtin_clz(maxz);
+  // snap up to the tier palette (io/pcmcodec._WIDTHS): bounds the decode
+  // program's compile-profile space at ~2% wire cost
+  if (w <= 4) return 4;
+  if (w <= 6) return 6;
+  if (w <= 8) return 8;
+  if (w <= 10) return 10;
+  if (w <= 12) return 12;
+  if (w <= 14) return 14;
+  if (w <= 16) return 16;
+  if (w <= 20) return 20;
+  return 32;
 }
 
 inline uint32_t umax(uint32_t a, uint32_t b) { return a > b ? a : b; }

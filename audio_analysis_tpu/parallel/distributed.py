@@ -148,10 +148,10 @@ def allgather_results(results_local):
 
     blob = json.dumps(results_local).encode()
     n = len(blob)
-    max_n = max(allgather_host_values(n))
+    lens = allgather_host_values(n)
+    max_n = max(lens)
     padded = np.zeros(max_n, np.uint8)
     padded[:n] = np.frombuffer(blob, np.uint8)
-    lens = allgather_host_values(n)
     gathered = multihost_utils.process_allgather(padded)
     gathered = np.asarray(gathered).reshape(jax.process_count(), max_n)
     out = []

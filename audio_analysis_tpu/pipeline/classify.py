@@ -267,9 +267,9 @@ def classify_frames(
     # dominant single-recording latency cost is this upload
     frames_np = np.asarray(frames)
     if frames_np.dtype == np.int16:
-        from audio_analysis_tpu.pipeline.serve import _wire_codec_enabled
+        from audio_analysis_tpu.io.pcmcodec import wire_codec_enabled
 
-        if _wire_codec_enabled(default="1"):
+        if wire_codec_enabled():
             # lossless wire codec: ~1.5x less upload wall-time (see
             # io/pcmcodec.py); decode is exact so downstream is unchanged
             from audio_analysis_tpu.io.pcmcodec import encode_pcm, decode_pcm

@@ -75,6 +75,24 @@ class _HubEmbedder:
         return np.asarray(logits), np.asarray(embedding)
 
 
+_EMBEDDER_CACHE = {}
+
+
+def _jitted_keras(target):
+    """Load a .keras embedder as ONE jitted program, cached per path+mtime.
+    A raw KerasModel executes eagerly (one device dispatch per layer — fatal
+    over the RPC tunnel) and would re-read the archive per recording."""
+    from audio_analysis_tpu.models.keras_graph import KerasModel
+    from audio_analysis_tpu.models.registry import _JittedModel
+
+    target = Path(target).resolve()
+    key = (str(target), target.stat().st_mtime)
+    if key not in _EMBEDDER_CACHE:
+        km = KerasModel.load(target)
+        _EMBEDDER_CACHE[key] = _JittedModel(km.apply, km.params)
+    return _EMBEDDER_CACHE[key]
+
+
 def load_embedder(path=None):
     """Resolve an embedder callable: batch [N, samples] -> (logits, emb) or
     emb-only. See module docstring for accepted artifacts."""
@@ -82,10 +100,8 @@ def load_embedder(path=None):
         return _HubEmbedder()
     p = Path(path)
     if p.is_file() and p.suffix == ".keras" or (p.is_dir() and list(p.glob("*.keras"))):
-        from audio_analysis_tpu.models.keras_graph import KerasModel
-
         target = p if p.is_file() else next(iter(sorted(p.glob("*.keras"))))
-        return KerasModel.load(target)
+        return _jitted_keras(target)
     if (p / "saved_model.pb").exists():
         from audio_analysis_tpu.io.convert import (
             ConversionError,
@@ -97,9 +113,7 @@ def load_embedder(path=None):
             converted = auto_convert_saved_model(p)
         except ConversionError:
             return HostSavedModel(p)
-        from audio_analysis_tpu.models.keras_graph import KerasModel
-
-        return KerasModel.load(converted / "audioModel.keras")
+        return _jitted_keras(converted / "audioModel.keras")
     if (p / "weights.npz").exists():
         from audio_analysis_tpu.io.modelconfig import ModelConfig
         from audio_analysis_tpu.models.registry import load_classifier

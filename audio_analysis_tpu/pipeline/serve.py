@@ -49,18 +49,7 @@ from audio_analysis_tpu.pipeline.cacophony import (
 from audio_analysis_tpu.models.registry import load_classifier
 
 
-def _wire_codec_enabled(default="1"):
-    """AAT_WIRE_CODEC gates the lossless PCM wire codec (io/pcmcodec.py).
-
-    Default ON everywhere since the SIMD rewrite of the native encoder
-    (63 ms per 8x60s batch, was ~200 ms): interleaved A/B on the tunnel
-    chip measures codec-on >= codec-off in every window (404 vs 382
-    audio-s/s best, 256 vs 243 worst), and the single-recording latency
-    path is 0.35 vs 0.54 s. Fewer wire bytes also blunt the tunnel's
-    bandwidth swings — the dominant bench noise source."""
-    import os
-
-    return os.environ.get("AAT_WIRE_CODEC", default).lower() not in ("0", "off", "false")
+from audio_analysis_tpu.io.pcmcodec import wire_codec_enabled as _wire_codec_enabled
 
 
 class BatchAnalyzer:
@@ -113,9 +102,19 @@ class BatchAnalyzer:
     def _dispatch(self, recordings, sr=None):
         sr = int(sr or self.sr)
         B = len(recordings)
-        if B == 0:
-            return None
         if self._multihost:
+            # every process runs the SAME global program: per-host batch
+            # sizes must agree (an empty or uneven feed would diverge the
+            # collectives and hang the job) — validate collectively, which
+            # also synchronises the error across processes
+            from audio_analysis_tpu.parallel.distributed import allgather_host_values
+
+            counts = set(allgather_host_values(B))
+            if len(counts) != 1 or 0 in counts:
+                raise ValueError(
+                    "multi-host serving requires equal non-empty per-host "
+                    f"batches; got per-process sizes {sorted(counts)}"
+                )
             # the bucket must be identical on every process (one global
             # program); recordings are the caller's per-host feed
             t_bucket = self.bucket
@@ -125,6 +124,8 @@ class BatchAnalyzer:
                     f"multi-host serving requires recordings <= bucket_seconds"
                     f" ({longest} > {t_bucket} samples)"
                 )
+        elif B == 0:
+            return None
         else:
             t_bucket = max(
                 self.bucket, max(-(-len(r) // self.sr) * self.sr for r in recordings)
@@ -133,7 +134,16 @@ class BatchAnalyzer:
         # (bit-identical to the 16-bit decode scaling); mixed input falls
         # back to float32.
         all_i16 = all(np.asarray(r).dtype == np.int16 for r in recordings)
-        use_codec = all_i16 and not self._multihost and _wire_codec_enabled()
+        # the codec decodes onto a single device — skip it under multi-host
+        # (per-process feeding) and on a mesh (the raw upload path keeps the
+        # recordings sharded along 'data'; a tunnel-attached mesh does not
+        # exist, so the codec's wire saving has no mesh use case)
+        use_codec = (
+            all_i16
+            and not self._multihost
+            and self.mesh is None
+            and _wire_codec_enabled()
+        )
         if use_codec:
             # the wire codec works on 512-sample blocks; a slightly larger
             # bucket is invisible downstream (n_valid masks everything)

