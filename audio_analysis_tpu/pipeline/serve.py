@@ -73,11 +73,25 @@ class BatchAnalyzer:
 
     # -- public -------------------------------------------------------------
 
-    def analyse_recordings(self, recordings, sr=None):
+    def analyse_recordings(self, recordings, sr=None, timer=None):
         """recordings: list of mono float32/int16 numpy arrays at self.sr.
-        Returns a list of result dicts (species_identify schema)."""
-        handle = self._dispatch(recordings, sr)
-        return self._finish(handle)
+        Returns a list of result dicts (species_identify schema).
+
+        `timer`: optional StageTimer; with AAT_TIMINGS=1 each result carries
+        the batch-level per-stage wall clock under "timing" (the stages are
+        shared by the whole batch — serving works in batch dispatches)."""
+        import os
+
+        from audio_analysis_tpu.utils.runtime import StageTimer
+
+        timer = timer or StageTimer()
+        with timer.stage("dispatch"):
+            handle = self._dispatch(recordings, sr)
+        results = self._finish(handle, timer=timer)
+        if os.environ.get("AAT_TIMINGS", "").lower() in ("1", "true", "on"):
+            for r in results:
+                r["timing"] = timer.as_dict()
+        return results
 
     def analyse_stream(self, batches, sr=None):
         """Pipelined serving: yields result lists per batch, dispatching the
@@ -184,35 +198,40 @@ class BatchAnalyzer:
         detect_handle = detect_batch_dispatch(frames_dev, n_valid, sr)
         return (detect_handle, frames_dev, n_valid, t_bucket, B, sr)
 
-    def _finish(self, handle):
+    def _finish(self, handle, timer=None):
+        from audio_analysis_tpu.utils.runtime import StageTimer
+
+        timer = timer or StageTimer()
         if handle is None:
             return []
         detect_handle, frames_dev, n_valid, t_bucket, B, sr = handle
-        detections = detect_batch_finish(detect_handle)
+        with timer.stage("detect"):
+            detections = detect_batch_finish(detect_handle)
 
         per_rec_tracks = []
         all_tracks = []
         plans = []
         rng = self.rng
         cfg0 = self.groups[0][0][1]
-        for b, (length, signals) in enumerate(detections):
-            tracks = get_tracks_from_signals([s.copy() for s in signals], length)
-            per_rec_tracks.append((length, signals, tracks))
-            plan = plan_windows(
-                int(n_valid[b]),
-                sr,
-                tracks,
-                cfg0.segment_length,
-                cfg0.segment_stride,
-                fmin=cfg0.fmin,
-                fmax=cfg0.fmax,
-                filter_freqs=cfg0.filter_freq,
-                filter_below=cfg0.filter_below,
-                pad_short_tracks=cfg0.pad_short_tracks,
-                rng=rng,
-            )
-            plans.append(plan)
-            all_tracks.append(tracks)
+        with timer.stage("plan"):
+            for b, (length, signals) in enumerate(detections):
+                tracks = get_tracks_from_signals([s.copy() for s in signals], length)
+                per_rec_tracks.append((length, signals, tracks))
+                plan = plan_windows(
+                    int(n_valid[b]),
+                    sr,
+                    tracks,
+                    cfg0.segment_length,
+                    cfg0.segment_stride,
+                    fmin=cfg0.fmin,
+                    fmax=cfg0.fmax,
+                    filter_freqs=cfg0.filter_freq,
+                    filter_below=cfg0.filter_below,
+                    pad_short_tracks=cfg0.pad_short_tracks,
+                    rng=rng,
+                )
+                plans.append(plan)
+                all_tracks.append(tracks)
 
         if self._multihost:
             return self._finish_multihost(
@@ -236,8 +255,10 @@ class BatchAnalyzer:
             # some tracks need their per-track Butterworth band-pass
             # (reference: src/identify_tracks.py:152-161) — take the
             # per-recording grid path that applies it
-            self._infer_with_filters(frames_dev, n_valid, sr, all_tracks, rng)
-            return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
+            with timer.stage("infer"):
+                self._infer_with_filters(frames_dev, n_valid, sr, all_tracks, rng)
+            with timer.stage("post"):
+                return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
 
         for group in self.groups:
             cfg = group[0][1]
@@ -268,15 +289,16 @@ class BatchAnalyzer:
                     return jax.device_put(a, NamedSharding(self.mesh, P("data")))
                 return jnp.asarray(a)
 
-            track_probs = np.asarray(
-                prog(
-                    flat_frames,
-                    put(padded.base),
-                    put(padded.valid_lo),
-                    put(padded.valid_hi),
-                    put(padded.track_index),
-                )
-            )[:n_total_tracks]
+            with timer.stage("infer"):
+                track_probs = np.asarray(
+                    prog(
+                        flat_frames,
+                        put(padded.base),
+                        put(padded.valid_lo),
+                        put(padded.valid_hi),
+                        put(padded.track_index),
+                    )
+                )[:n_total_tracks]
             windows_per_track = np.bincount(
                 padded.track_index, minlength=n_total_tracks
             )
@@ -289,7 +311,8 @@ class BatchAnalyzer:
                     cfg,
                 )
 
-        return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
+        with timer.stage("post"):
+            return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
 
     def _finish_multihost(
         self, per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr

@@ -133,6 +133,15 @@ def test_batch_int16_matches_float(model_dir):
     assert ta == tb
 
 
+def test_batch_timings_surface(model_dir, monkeypatch):
+    monkeypatch.setenv("AAT_TIMINGS", "1")
+    analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    res = analyzer.analyse_recordings([_rec(30)])
+    t = res[0]["timing"]
+    assert {"dispatch", "detect", "plan", "post"} <= set(t)
+    assert all(v >= 0 for v in t.values())
+
+
 def test_batch_wire_codec_matches_raw(model_dir, monkeypatch):
     """AAT_WIRE_CODEC=1 serving must be byte-identical to the raw int16
     upload (the codec is lossless and decodes on device)."""
