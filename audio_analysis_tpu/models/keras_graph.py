@@ -322,12 +322,35 @@ class KerasModel:
         if cls == "Rescaling":
             return x * cfg.get("scale", 1.0) + cfg.get("offset", 0.0)
         if cls == "Normalization":
-            mean, var = self._vars(params, name)[:2]  # float32 statistics
-            if self.compute_dtype is not None:
+            vf = self._vars(params, name)  # float32 statistics, uncast
+            if len(vf) >= 2:  # adapt()-ed stats are stored as weights
+                mean, var = vf[0], vf[1]
+            else:
+                # constructor-supplied stats live in the CONFIG, not the
+                # weights (e.g. EfficientNetV2's ImageNet mean/variance)
+                mean, var = cfg.get("mean"), cfg.get("variance")
+                if mean is None or var is None:
+                    return x  # unbuilt/un-adapted layer: identity
+                axis = cfg.get("axis", -1)
+                if isinstance(axis, (list, tuple)):
+                    axis = axis[0] if axis else -1
+                mean = jnp.asarray(mean, jnp.float32)
+                var = jnp.asarray(var, jnp.float32)
+                if mean.ndim:
+                    shape = [1] * x.ndim
+                    shape[axis] = mean.shape[0]
+                    mean, var = mean.reshape(shape), var.reshape(shape)
+            if cfg.get("invert", False):
+                y = x * jnp.sqrt(var) + mean
+            elif self.compute_dtype is not None:
                 a = jax.lax.rsqrt(var)
                 b = -mean * a
                 return x * a.astype(self.compute_dtype) + b.astype(self.compute_dtype)
-            return (x - mean) / jnp.sqrt(var)
+            else:
+                y = (x - mean) / jnp.sqrt(var)
+            if self.compute_dtype is not None:
+                y = y.astype(self.compute_dtype)
+            return y
         if cls == "Add":
             return sum(args[0]) if isinstance(args[0], list) else sum(args)
         if cls == "Subtract":

@@ -194,3 +194,30 @@ def test_bf16_compute_parity(tmp_path, rng, magtransform_cls):
     assert bf16.dtype == np.float32  # cast back at the boundary
     assert (bf16.argmax(-1) == f32.argmax(-1)).all()
     np.testing.assert_allclose(bf16, f32, atol=0.03)
+
+
+@pytest.mark.parametrize(
+    "ctor",
+    ["MobileNetV2", "ResNet50", "EfficientNetV2B0"],
+)
+def test_application_zoo_imports_logit_exact(rng, ctor):
+    """Beyond EfficientNetB0 (the reference flagship), the importer must
+    cover the model families Cacophony could plausibly release next:
+    inverted residuals (MobileNetV2), classic residentials (ResNet50), and
+    V2 fused-MBConv + config-supplied Normalization stats
+    (EfficientNetV2B0, whose mean/variance live in the layer CONFIG, not
+    the weights)."""
+    tf.keras.utils.set_random_seed(5)
+    model = getattr(tf.keras.applications, ctor)(
+        weights=None, input_shape=(96, 96, 3), classes=7
+    )
+    x = rng.rand(2, 96, 96, 3).astype(np.float32)
+    ref = model(x).numpy()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/m.keras"
+        model.save(p)
+        km = KerasModel.load(p)
+        ours = np.asarray(km(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
