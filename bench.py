@@ -249,6 +249,38 @@ def bench_latency(models, sr=48000):
     return round(float(np.median(times)), 3)
 
 
+def bench_breakdown(recordings, sr=48000):
+    """Subsystem diagnostics for the headline number: raw-upload wire
+    bandwidth (the usual bound on the tunnel-attached chip) and
+    detection-only throughput (compute bound)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_analysis_tpu.detect.signal_noise import detect_batch
+
+    stacked = np.zeros((len(recordings), max(len(r) for r in recordings)), np.int16)
+    n_valid = np.zeros(len(recordings), np.int32)
+    for i, r in enumerate(recordings):
+        stacked[i, : len(r)] = r
+        n_valid[i] = len(r)
+    # wire bandwidth: best-of-3 raw uploads (tunnel swings minute-to-minute)
+    up = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jnp.asarray(stacked)
+        _force(dev[:, :8])
+        up.append(stacked.nbytes / (time.perf_counter() - t0) / 1e6)
+    detect_batch(dev, n_valid, sr)  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = detect_batch(dev, n_valid, sr)
+    detect_s = (time.perf_counter() - t0) / 3
+    audio_s = float(n_valid.sum()) / sr
+    return {
+        "upload_MB_per_s": round(max(up), 1),
+        "detect_only_audio_s_per_s": round(audio_s / detect_s, 1),
+    }
+
+
 def bench_pallas_melspec(sr=48000):
     """A/B the Pallas DFT->mel kernel vs the XLA FFT path on a 128-window
     grid; returns times and the keep/delete verdict input."""
@@ -347,6 +379,7 @@ def main():
 
     latency = bench_latency(models, sr=sr)
     pallas = bench_pallas_melspec(sr=sr)
+    breakdown = bench_breakdown(recordings, sr=sr)
 
     print(
         json.dumps(
@@ -358,6 +391,7 @@ def main():
                 "efficientnet_b0": effnet,
                 "latency_s_per_60s_recording": latency,
                 "pallas_melspec_ms_per_128_windows": pallas,
+                "breakdown": breakdown,
             }
         )
     )
