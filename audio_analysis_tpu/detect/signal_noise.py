@@ -355,6 +355,8 @@ def detect_batch_finish(handle):
     n_frames_total = num_frames(shape[-1], hop_length, n_fft)
     n_bins = packed.shape[-2]
     B = found.shape[0]
+    if B == 0:
+        return []
     budget = runs_s.shape[-1]
     # rare path: any recording whose runs overflowed needs its packed mask
     packed_np = local_slice(packed) if any(int(n_runs[b]) > budget for b in range(B)) else None

@@ -153,10 +153,18 @@ class HostSavedModel:
                 out = next(iter(out.values()))
             elif len(out) == 2:
                 # the (logits, embedding) embedder contract (reference
-                # src/identify_tracks.py:363, model.infer_tf): pick the
-                # embedding by key name when labelled, else by key order
+                # src/identify_tracks.py:363, model.infer_tf): accept only
+                # when exactly ONE key names the embedding — guessing by
+                # key order could silently swap the pair, and downstream
+                # would classify on logits; stay loud instead
                 keys = sorted(out)
-                emb = next((k for k in keys if "embed" in k.lower()), keys[1])
+                emb_keys = [k for k in keys if "embed" in k.lower()]
+                if len(emb_keys) != 1:
+                    raise ValueError(
+                        f"ambiguous SavedModel outputs: {keys} (need exactly "
+                        "one key containing 'embed' to identify the embedding)"
+                    )
+                emb = emb_keys[0]
                 logits = next(k for k in keys if k != emb)
                 return np.asarray(out[logits]), np.asarray(out[emb])
             else:

@@ -25,7 +25,7 @@ Design constraints (TPU/XLA):
 The reference has no analog (it reads local files, src/common.py:70-96);
 this is new TPU-serving machinery. Default ON for both serving paths since
 the SIMD encoder rewrite (AAT_WIRE_CODEC=0 reverts; measurements in
-pipeline/serve._wire_codec_enabled).
+wire_codec_enabled below).
 """
 
 from functools import lru_cache, partial
@@ -43,10 +43,23 @@ def wire_codec_enabled(default="1"):
     codec-on >= codec-off in every window (404 vs 382 audio-s/s best, 256
     vs 243 worst), and the single-recording latency path is 0.35 vs 0.54 s.
     Fewer wire bytes also blunt the tunnel's bandwidth swings — the
-    dominant bench noise source."""
+    dominant bench noise source.
+
+    The default (env unset) additionally requires the NATIVE encoder: the
+    numpy fallback measures ~6.5 s per 46 MB batch on the single-core
+    hosts — far more than the wire time it saves — so a host without a
+    toolchain silently keeps the raw upload. An explicit AAT_WIRE_CODEC=1
+    forces the codec regardless (tests use this)."""
     import os
 
-    return os.environ.get("AAT_WIRE_CODEC", default).lower() not in ("0", "off", "false")
+    v = os.environ.get("AAT_WIRE_CODEC")
+    if v is None:
+        if default.lower() in ("0", "off", "false"):
+            return False
+        from audio_analysis_tpu.native import load_pcmcodec_library
+
+        return load_pcmcodec_library() is not None
+    return v.lower() not in ("0", "off", "false")
 
 
 BLOCK = 512  # samples per block; 512/32=16 -> a block is exactly 16*w words
@@ -67,7 +80,7 @@ class EncodedPCM(NamedTuple):
 
     shape: tuple  # (B, T) original int16 shape, T % BLOCK == 0 after pad
     n_valid: int  # T before padding (per row)
-    order: int  # predictor order (1 or 2)
+    order: int  # predictor order (1, 2, or 3)
     tiers: dict
 
 
@@ -197,7 +210,6 @@ def _encode_native(lib, x, b, t, n_valid, order) -> EncodedPCM:
     tier_rank = np.argsort(w_chosen, kind="stable")  # tier-major block order
     counts = np.bincount(w_chosen, minlength=33)
     segments = {}  # w -> (positions int32 [npad], start_word, npad)
-    start = 0
     flat_words = 0
     for w in present:
         n_w = int(counts[w])

@@ -145,7 +145,7 @@ extern "C" int64_t ccl_stats_packed(const uint8_t* packed, int64_t h,
 }
 
 // Run-list variant: the device already extracted horizontal runs (see
-// detect/signal_noise._mask_runs) so only ~KBs cross the wire instead of
+// detect/signal_noise._runs_from_packed_program) so only ~KBs cross the wire instead of
 // the ~2.6 MB packed mask. starts/ends are flat row-major indices
 // (row*w + col, end exclusive within the row), sorted ascending (the
 // device nonzero order), n_runs of them; entries beyond n_runs ignored.

@@ -154,7 +154,7 @@ def connected_components_with_stats_runs(
 ) -> np.ndarray:
     """Same stats, from device-extracted horizontal runs: `starts`/`ends`
     are flat row-major pixel indices of each run's first/LAST on-pixel,
-    ascending (the device nonzero order; see detect.signal_noise._mask_runs).
+    ascending (the device nonzero order; see detect.signal_noise._runs_from_packed_program).
     Only ~n_runs*8 bytes cross the wire instead of the packed mask."""
     n_runs = int(n_runs)
     starts = np.ascontiguousarray(starts[:n_runs], dtype=np.int32)

@@ -49,6 +49,8 @@ from audio_analysis_tpu.pipeline.cacophony import (
 from audio_analysis_tpu.models.registry import load_classifier
 
 
+from contextlib import nullcontext as _nullctx
+
 from audio_analysis_tpu.io.pcmcodec import wire_codec_enabled as _wire_codec_enabled
 
 
@@ -235,7 +237,8 @@ class BatchAnalyzer:
 
         if self._multihost:
             return self._finish_multihost(
-                per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr
+                per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr,
+                timer=timer,
             )
 
         combined = self._combine_plans(plans, t_bucket)
@@ -315,7 +318,8 @@ class BatchAnalyzer:
             return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
 
     def _finish_multihost(
-        self, per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr
+        self, per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr,
+        timer=None,
     ):
         """SPMD inference across processes: every process executes the SAME
         global programs (windows sharded along 'data'; XLA inserts the psum
@@ -373,15 +377,16 @@ class BatchAnalyzer:
             def put(a):
                 return dist.make_global_batch(self.mesh, a, P("data"))
 
-            track_probs = dist.replicated_np(
-                prog(
-                    flat_frames,
-                    put(padded.base),
-                    put(padded.valid_lo),
-                    put(padded.valid_hi),
-                    put(padded.track_index),
-                )
-            )[:n_total_tracks]
+            with timer.stage("infer") if timer else _nullctx():
+                track_probs = dist.replicated_np(
+                    prog(
+                        flat_frames,
+                        put(padded.base),
+                        put(padded.valid_lo),
+                        put(padded.valid_hi),
+                        put(padded.track_index),
+                    )
+                )[:n_total_tracks]
             local_probs = track_probs[track_offset0 : track_offset0 + n_local_tracks]
             for b in range(B):
                 lo, hi = track_offsets[b], track_offsets[b + 1]
@@ -392,8 +397,9 @@ class BatchAnalyzer:
                     cfg,
                 )
 
-        results = self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
-        return dist.allgather_results(results)
+        with timer.stage("post") if timer else _nullctx():
+            results = self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
+            return dist.allgather_results(results)
 
     def _infer_with_filters(self, frames_dev, n_valid, sr, all_tracks, rng):
         """Per-recording inference with the band-pass path (rare configs).

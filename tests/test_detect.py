@@ -199,3 +199,11 @@ def test_get_tracks_filters_short_and_enlarges():
 def test_get_tracks_min_mel_range_filter():
     s = Signal(0.0, 1.0, 5000, 5010)  # tiny freq range -> mel range < 50
     assert get_tracks_from_signals([s], end=10.0) == []
+
+
+def test_detect_batch_empty():
+    import numpy as np
+    from audio_analysis_tpu.detect.signal_noise import detect_batch
+
+    out = detect_batch(np.zeros((0, 48000), np.int16), np.zeros(0, np.int32), 48000)
+    assert out == []

@@ -1,5 +1,5 @@
 """PCM wire codec (io/pcmcodec.py + native/pcmcodec.cpp) and compact mask
-runs (detect/signal_noise._mask_runs + native ccl_stats_runs).
+runs (detect/signal_noise._runs_from_packed_program + native ccl_stats_runs).
 
 The codec must be bit-exact (it feeds the detection STFT directly); the
 native encoder must produce byte-identical layouts to the numpy fallback
