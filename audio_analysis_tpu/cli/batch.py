@@ -29,6 +29,16 @@ def parse_args(argv=None):
     p.add_argument("--bird-model", type=none_or_str, action="append")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--watch",
+        action="store_true",
+        help="daemon mode: FILES is one spool directory; poll it and analyse "
+        "new recordings as they appear, writing each result into its "
+        "sidecar. Restart-safe: files whose sidecar already carries "
+        "analysis_result are skipped.",
+    )
+    p.add_argument("--poll-interval", type=float, default=2.0)
+    p.add_argument("--max-polls", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("files", nargs="+")
     args = p.parse_args(argv)
     if not args.bird_model:
@@ -39,6 +49,71 @@ def parse_args(argv=None):
     return args
 
 
+AUDIO_EXTS = {".wav", ".mp3", ".ogg", ".opus", ".flac", ".m4a", ".aac"}
+
+
+def _pending(root, min_age, fail_counts, max_fails=3):
+    """Spool files awaiting analysis: audio extensions, no analysis_result
+    in the sidecar yet, not modified within `min_age` seconds (a file still
+    being uploaded has a fresh mtime), under the failure budget."""
+    from pathlib import Path
+
+    from audio_analysis_tpu.io.metadata import read_sidecar
+
+    now = time.time()
+    out = []
+    for f in sorted(Path(root).iterdir()):
+        if f.suffix.lower() not in AUDIO_EXTS:
+            continue
+        if fail_counts.get(f, 0) >= max_fails:
+            continue
+        try:
+            if min_age and now - f.stat().st_mtime < min_age:
+                continue
+        except OSError:
+            continue  # vanished between listing and stat
+        meta = read_sidecar(f)
+        if meta and "analysis_result" in meta:
+            continue
+        out.append(f)
+    return out
+
+
+def watch(args, analyzer, t0):
+    """Poll the spool directory forever (or --max-polls times, for tests),
+    analysing new recordings in warm batches. The per-file sidecar is the
+    completion record, so a restarted daemon resumes where it stopped —
+    the same unit-of-retry contract as the reference's one-container-per-
+    recording deployment, without the cold start per file."""
+    root = args.files[0]
+    fail_counts = {}
+    polls = 0
+    while args.max_polls is None or polls < args.max_polls:
+        todo = _pending(root, args.poll_interval, fail_counts)
+        for i in range(0, len(todo), args.batch_size):
+            chunk = todo[i : i + args.batch_size]
+            recs, good = [], []
+            for f in chunk:
+                try:
+                    frames, _ = load_recording(
+                        f, resample=analyzer.sr, prefer_int16=True
+                    )
+                    recs.append(frames)
+                    good.append(f)
+                except Exception:
+                    fail_counts[f] = fail_counts.get(f, 0) + 1
+                    logging.error("failed to decode %s", f, exc_info=True)
+            if not good:
+                continue
+            for fname, result in zip(good, analyzer.analyse_recordings(recs)):
+                result["processing_time_seconds"] = round(time.time() - t0, 1)
+                write_sidecar_result(fname, result)
+                logging.info("analysed %s", fname)
+        polls += 1
+        if args.max_polls is None or polls < args.max_polls:
+            time.sleep(args.poll_interval)
+
+
 def run(argv=None):
     from audio_analysis_tpu.pipeline.serve import BatchAnalyzer
 
@@ -47,6 +122,9 @@ def run(argv=None):
     t0 = time.time()
     rng = np.random.RandomState(args.seed) if args.seed is not None else np.random
     analyzer = BatchAnalyzer(args.bird_model, rng=rng)
+    if args.watch:
+        watch(args, analyzer, t0)
+        return []
 
     def batches():
         for i in range(0, len(args.files), args.batch_size):

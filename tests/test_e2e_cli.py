@@ -143,3 +143,36 @@ def test_cli_analyse_tracks(model_dir, recording, tmp_path, capsys):
     assert "duration" not in parsed
     assert len(parsed["species_identify"]) == 1
     assert parsed["species_identify"][0]["track_id"] == 41
+
+
+def test_batch_watch_mode(model_dir, recording, tmp_path):
+    """--watch analyses new spool files, skips already-analysed ones
+    (sidecar carries analysis_result), and is restart-safe."""
+    from audio_analysis_tpu.cli.batch import run as batch_run
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    import shutil
+
+    new = spool / "new.wav"
+    done = spool / "done.wav"
+    shutil.copy(recording, new)
+    shutil.copy(recording, done)
+    (spool / "done.txt").write_text(json.dumps({"analysis_result": {"marker": 1}}))
+    (spool / "notes.md").write_text("ignored")
+
+    batch_run(
+        ["--watch", "--max-polls", "1", "--poll-interval", "0",
+         "--bird-model", str(model_dir), "--seed", "0", str(spool)]
+    )
+    out = json.loads((spool / "new.txt").read_text())
+    assert "species_identify" in out["analysis_result"]
+    # the already-analysed file is untouched
+    assert json.loads((spool / "done.txt").read_text())["analysis_result"] == {"marker": 1}
+    # second run: nothing pending, new.txt unchanged
+    before = (spool / "new.txt").read_text()
+    batch_run(
+        ["--watch", "--max-polls", "1", "--poll-interval", "0",
+         "--bird-model", str(model_dir), "--seed", "0", str(spool)]
+    )
+    assert (spool / "new.txt").read_text() == before
