@@ -114,6 +114,43 @@ class KerasModel:
     def __call__(self, x):
         return self.apply(self.params, x)
 
+    def apply_train(self, params, x, rng):
+        """Training-mode forward: BatchNorm normalises with BATCH statistics
+        (returned so the caller can EMA them into the running stats, see
+        parallel/finetune.py) and Dropout/SpatialDropout2D are live, keyed
+        off `rng` (deterministic per layer via fold_in). Pure in (params,
+        x, rng) — safe under jit/grad. Returns (y, batch_stats) with
+        batch_stats mapping each BatchNormalization weight key ->
+        (batch_mean, batch_var)."""
+        ctx = {"rng": rng, "n": 0, "stats": {}}
+        self._train_ctx = ctx
+        try:
+            y = self.apply(params, x)
+        finally:
+            self._train_ctx = None
+        return y, ctx["stats"]
+
+    def walk_layers(self):
+        """Yield (weight_key, class_name, config) for every real layer,
+        recursing through nested Functional/Sequential submodels in
+        execution order — the introspection surface for fine-tuning
+        (trainability masks, head discovery)."""
+        for layer in self._layers:
+            cls = layer["class_name"]
+            if cls == "InputLayer":
+                continue
+            name = _layer_name(layer)
+            if cls in ("Functional", "Sequential"):
+                sub = KerasModel(
+                    layer,
+                    {},
+                    name_prefix=self._prefix + self._h5key[name] + "/layers/",
+                    compute_dtype=self.compute_dtype,
+                )
+                yield from sub.walk_layers()
+            else:
+                yield self._prefix + self._h5key[name], cls, layer["config"]
+
     def _cast_in(self, x):
         cdt = self.compute_dtype
         if cdt is None or not hasattr(x, "astype"):
@@ -206,6 +243,16 @@ class KerasModel:
         x = args[0]
 
         if cls in ("Dropout", "SpatialDropout2D", "GaussianNoise", "GaussianDropout", "Identity", "ActivityRegularization"):
+            ctx = getattr(self, "_train_ctx", None)
+            rate = float(cfg.get("rate", 0.0) or 0.0)
+            if ctx is not None and rate > 0 and cls in ("Dropout", "SpatialDropout2D"):
+                ctx["n"] += 1
+                key = jax.random.fold_in(ctx["rng"], ctx["n"])
+                shape = list(x.shape)
+                if cls == "SpatialDropout2D":  # one mask per (batch, channel)
+                    shape[1] = shape[2] = 1
+                keep = jax.random.bernoulli(key, 1.0 - rate, tuple(shape))
+                return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
             return x
         if "MagTransform" in cls or "MagTransform" in (layer.get("registered_name") or ""):
             return mag_transform(x, v[0])
@@ -266,6 +313,23 @@ class KerasModel:
             axis = cfg.get("axis", -1)
             if isinstance(axis, list):
                 axis = axis[0]
+            ctx = getattr(self, "_train_ctx", None)
+            if ctx is not None:
+                # training mode: normalise with BATCH statistics (biased
+                # variance, Keras semantics) and report them for the EMA
+                axis_n = axis % x.ndim
+                red = tuple(i for i in range(x.ndim) if i != axis_n)
+                xf = x.astype(jnp.float32)
+                bm = jnp.mean(xf, red)
+                bv = jnp.mean(jnp.square(xf), red) - jnp.square(bm)
+                ctx["stats"][self._prefix + self._h5key[name]] = (bm, bv)
+                shape = [1] * x.ndim
+                shape[axis_n] = x.shape[axis_n]
+                inv = jax.lax.rsqrt(bv + eps)
+                a = inv if gamma is None else gamma * inv
+                b = (0.0 if beta is None else beta) - bm * a
+                y = xf * a.reshape(shape) + b.reshape(shape)
+                return y.astype(x.dtype)
             if self.compute_dtype is not None:
                 # fold to scale/shift in float32 (rsqrt of bf16 variance
                 # would lose ~3 digits), then apply in the compute dtype —
@@ -381,6 +445,8 @@ class KerasModel:
                 name_prefix=self._prefix + self._h5key[name] + "/layers/",
                 compute_dtype=self.compute_dtype,
             )
+            # share the training context (rng counter + collected stats)
+            sub._train_ctx = getattr(self, "_train_ctx", None)
             return sub.apply(params, x if len(args) == 1 else args)
         raise ValueError(f"unsupported Keras layer {cls} ({name})")
 

@@ -1,0 +1,166 @@
+"""Fine-tune imported ``.keras`` checkpoints natively on TPU.
+
+The reference ships no training code at all (SURVEY.md §2) and its users
+fine-tune released Cacophony classifiers in TF. This module closes that
+loop TPU-natively: take any checkpoint the importer can execute
+(models/keras_graph.py), run sharded training steps against it, EMA the
+BatchNorm running statistics, and hand the updated weights to
+io/keras_export.write_keras_archive — producing a ``.keras`` artifact the
+reference's own TF loader (and our TF-free importer) reads back.
+
+Design notes (TPU-first):
+- one jit'd step: forward (batch-stat BN + live dropout via
+  KerasModel.apply_train) + backward + adamw + BN EMA, all fused;
+- data parallel over a mesh 'data' axis (features and labels sharded,
+  parameters replicated); XLA inserts the psum for the gradients and the
+  full-batch BN statistics;
+- frozen leaves (BN running stats, Normalization stats) receive exactly
+  zero adam updates because their gradients are structurally zero in
+  training mode and weight decay is masked to trainable kernels — the same
+  scheme parallel/train.py uses for the native models.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+BN_MOMENTUM = 0.99  # Keras BatchNormalization default
+
+
+def non_trainable_mask(km):
+    """{weight_key: [bool per var]} — True marks leaves that must not
+    train: BatchNorm running mean/var (the last two vars) and Normalization
+    statistics (all vars). Matches km.params' structure."""
+    frozen_rules = {}
+    for key, cls, cfg in km.walk_layers():
+        if cls == "BatchNormalization":
+            frozen_rules[key] = "bn"
+        elif cls == "Normalization":
+            frozen_rules[key] = "all"
+    mask = {}
+    for key, vs in km.params.items():
+        rule = frozen_rules.get(key)
+        if rule == "all":
+            mask[key] = [True] * len(vs)
+        elif rule == "bn":
+            mask[key] = [False] * (len(vs) - 2) + [True, True]
+        else:
+            mask[key] = [False] * len(vs)
+    return mask
+
+
+def decay_mask(km):
+    """Weight decay on trainable kernels (ndim >= 2) only — never biases,
+    gamma/beta, or the frozen statistics (adamw would decay the
+    zero-gradient running stats toward 0)."""
+    frozen = non_trainable_mask(km)
+    return {
+        key: [(v.ndim >= 2) and not fz for v, fz in zip(vs, frozen[key])]
+        for key, vs in km.params.items()
+    }
+
+
+def replace_head(km, num_classes, seed=0):
+    """Re-initialise the final Dense layer for a new label space (transfer
+    learning): Glorot-uniform kernel [in, num_classes], zero bias. Mutates
+    km.params and the layer config (units) so an exported archive carries a
+    consistent graph. Returns the head's weight key."""
+    head = None
+    for key, cls, cfg in km.walk_layers():
+        if cls == "Dense":
+            head = (key, cfg)
+    if head is None:
+        raise ValueError("model has no Dense layer to act as the head")
+    key, cfg = head
+    vs = km.params[key]
+    fan_in = vs[0].shape[0]
+    limit = float(np.sqrt(6.0 / (fan_in + num_classes)))
+    rng = np.random.RandomState(seed)
+    w = jnp.asarray(
+        rng.uniform(-limit, limit, (fan_in, num_classes)).astype(np.float32)
+    )
+    new = [w]
+    if len(vs) > 1:  # use_bias
+        new.append(jnp.zeros((num_classes,), jnp.float32))
+    km.params[key] = new
+    cfg["units"] = int(num_classes)
+    return key
+
+
+def build_finetune(
+    km,
+    mesh=None,
+    lr=1e-4,
+    weight_decay=1e-4,
+    bn_momentum=BN_MOMENTUM,
+    outputs="probs",
+    feats_ndim=4,
+):
+    """Return (params, opt_state, jit_step) for fine-tuning `km`.
+
+    jit_step(params, opt_state, feats, labels, rng) -> (params, opt_state,
+    loss, acc). `feats` is the model-input feature grid (e.g. mel windows
+    [B, n_mels, T, C]); build it with pipeline.frontend.spectrogram_grid
+    using the model's metadata. `outputs`: "probs" when the model ends in
+    softmax (every released classifier), "logits" otherwise.
+    """
+    params = km.params
+    optimizer = optax.adamw(lr, weight_decay=weight_decay, mask=decay_mask(km))
+    frozen = non_trainable_mask(km)
+
+    def loss_fn(p, feats, labels, rng):
+        out, bn_stats = km.apply_train(p, feats, rng)
+        if outputs == "probs":
+            logp = jnp.log(jnp.clip(out, 1e-9, 1.0))
+        else:
+            logp = jax.nn.log_softmax(out)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+        acc = jnp.mean(jnp.argmax(logp, axis=1) == labels)
+        return nll, (acc, bn_stats)
+
+    def step(p, opt_state, feats, labels, rng):
+        (loss, (acc, bn_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, feats, labels, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, p)
+        # hard-freeze the statistics: Normalization stats sit in the live
+        # forward path, so their gradients are NOT structurally zero — the
+        # EMA (BN) / nothing (Normalization) is their only legal update
+        updates = {
+            key: [jnp.zeros_like(u) if fz else u for u, fz in zip(us, frozen[key])]
+            for key, us in updates.items()
+        }
+        p = optax.apply_updates(p, updates)
+        p = dict(p)
+        for key, (bm, bv) in bn_stats.items():
+            vs = list(p[key])
+            vs[-2] = bn_momentum * vs[-2] + (1.0 - bn_momentum) * bm
+            vs[-1] = bn_momentum * vs[-1] + (1.0 - bn_momentum) * bv
+            p[key] = vs
+        return p, opt_state, loss, acc
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data2 = NamedSharding(mesh, P("data", *([None] * (feats_ndim - 1))))
+        data1 = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, jax.tree_util.tree_map(lambda _: repl, params))
+        opt_state = optimizer.init(params)
+        jit_step = jax.jit(
+            step,
+            in_shardings=(
+                jax.tree_util.tree_map(lambda _: repl, params),
+                None,
+                data2,
+                data1,
+                None,
+            ),
+            donate_argnums=(0, 1),
+        )
+    else:
+        opt_state = optimizer.init(params)
+        jit_step = jax.jit(step, donate_argnums=(0, 1))
+    return params, opt_state, jit_step

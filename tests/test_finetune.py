@@ -1,0 +1,212 @@
+"""Native fine-tuning of imported .keras checkpoints (parallel/finetune.py)
+and the round trip back to a reference-compatible archive
+(io/keras_export.py). The reference has no training at all; the bar here is
+internal consistency plus TF-readability of the exported artifact."""
+
+import json
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax
+import jax.numpy as jnp
+
+from audio_analysis_tpu.models import KerasModel
+from audio_analysis_tpu.parallel.finetune import (
+    build_finetune,
+    decay_mask,
+    non_trainable_mask,
+    replace_head,
+)
+from audio_analysis_tpu.io.keras_export import write_keras_archive
+
+
+N_CLASSES = 4
+FEAT = (12, 10, 1)
+
+
+@pytest.fixture(scope="module")
+def saved_model(tmp_path_factory):
+    tf.keras.utils.set_random_seed(11)
+    inp = tf.keras.Input(FEAT)
+    x = tf.keras.layers.Conv2D(8, 3, padding="same")(inp)
+    x = tf.keras.layers.BatchNormalization()(x)
+    x = tf.keras.layers.ReLU()(x)
+    x = tf.keras.layers.Dropout(0.1)(x)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(N_CLASSES, activation="softmax")(x)
+    model = tf.keras.Model(inp, out)
+    p = tmp_path_factory.mktemp("ft") / "audioModel.keras"
+    model.save(str(p))
+    return p
+
+
+def _toy_batch(rng, n=64):
+    """Separable-after-GAP feature batches: class k is amplitude-coded
+    (global pooling erases WHERE energy sits, so position-coded classes
+    would be unlearnable by this architecture — amplitude survives)."""
+    y = rng.randint(0, N_CLASSES, n).astype(np.int32)
+    x = rng.randn(n, *FEAT).astype(np.float32) * 0.1
+    x += (y * 1.5).astype(np.float32)[:, None, None, None]
+    return x, y
+
+
+def test_finetune_learns_and_moves_bn(saved_model, rng):
+    km = KerasModel.load(saved_model)
+    bn_key = next(k for k, cls, _ in km.walk_layers() if cls == "BatchNormalization")
+    mean0 = np.asarray(km.params[bn_key][-2]).copy()
+    params, opt_state, step = build_finetune(km, lr=3e-2)
+    key = jax.random.PRNGKey(0)
+    for i in range(150):
+        x, y = _toy_batch(rng)
+        params, opt_state, loss, acc = step(
+            params, opt_state, jnp.asarray(x), jnp.asarray(y), jax.random.fold_in(key, i)
+        )
+    assert float(acc) > 0.9, float(acc)
+    km.params = params
+    # BN running stats moved via the EMA (not gradient descent)
+    assert not np.allclose(np.asarray(params[bn_key][-2]), mean0)
+    # eval-mode accuracy on held-out data tracks train-mode accuracy
+    x, y = _toy_batch(rng, 128)
+    probs = np.asarray(km(jnp.asarray(x)))
+    assert (probs.argmax(1) == y).mean() > 0.9
+
+
+def test_masks_structure(saved_model):
+    km = KerasModel.load(saved_model)
+    frozen = non_trainable_mask(km)
+    decay = decay_mask(km)
+    assert set(frozen) == set(km.params)
+    bn_key = next(k for k, cls, _ in km.walk_layers() if cls == "BatchNormalization")
+    assert frozen[bn_key][-2:] == [True, True]
+    assert not any(decay[bn_key])
+    dense_key = [k for k, cls, _ in km.walk_layers() if cls == "Dense"][-1]
+    assert decay[dense_key][0] and not decay[dense_key][1]
+
+
+def test_dropout_train_mode_deterministic(saved_model, rng):
+    km = KerasModel.load(saved_model)
+    x = jnp.asarray(rng.randn(8, *FEAT).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    a, _ = km.apply_train(km.params, x, key)
+    b, _ = km.apply_train(km.params, x, key)
+    c, _ = km.apply_train(km.params, x, jax.random.PRNGKey(8))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_export_roundtrip_ours_and_tf(saved_model, rng, tmp_path):
+    km = KerasModel.load(saved_model)
+    params, opt_state, step = build_finetune(km, lr=1e-2)
+    key = jax.random.PRNGKey(0)
+    for i in range(5):
+        x, y = _toy_batch(rng)
+        params, opt_state, loss, acc = step(
+            params, opt_state, jnp.asarray(x), jnp.asarray(y), jax.random.fold_in(key, i)
+        )
+    out = tmp_path / "tuned.keras"
+    write_keras_archive(saved_model, params, out)
+
+    x, _ = _toy_batch(rng, 16)
+    km.params = params
+    want = np.asarray(km(jnp.asarray(x)))
+    # our TF-free importer reads the export back
+    ours = np.asarray(KerasModel.load(out)(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, want, atol=1e-6)
+    # and so does TensorFlow itself — the export is reference-compatible
+    tfm = tf.keras.models.load_model(str(out))
+    theirs = tfm.predict(x, verbose=0)
+    np.testing.assert_allclose(theirs, want, rtol=1e-4, atol=1e-5)
+
+
+def test_replace_head_new_label_space(saved_model, rng, tmp_path):
+    km = KerasModel.load(saved_model)
+    head_key = replace_head(km, 3, seed=1)
+    assert km.params[head_key][0].shape[1] == 3
+    params, opt_state, step = build_finetune(km, lr=3e-2)
+    key = jax.random.PRNGKey(0)
+    for i in range(150):
+        x, y = _toy_batch(rng)
+        y = y % 3
+        params, opt_state, loss, acc = step(
+            params, opt_state, jnp.asarray(x), jnp.asarray(y), jax.random.fold_in(key, i)
+        )
+    assert float(acc) > 0.85, float(acc)
+    out = tmp_path / "newhead.keras"
+    write_keras_archive(saved_model, params, out, config=km.config)
+    km.params = params
+    x, _ = _toy_batch(rng, 16)
+    want = np.asarray(km(jnp.asarray(x)))
+    assert want.shape[1] == 3
+    ours = np.asarray(KerasModel.load(out)(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, want, atol=1e-6)
+    theirs = tf.keras.models.load_model(str(out)).predict(x, verbose=0)
+    np.testing.assert_allclose(theirs, want, rtol=1e-4, atol=1e-5)
+
+
+def test_finetune_on_mesh(saved_model, rng):
+    from audio_analysis_tpu.parallel.mesh import make_mesh
+
+    km = KerasModel.load(saved_model)
+    mesh = make_mesh(n_devices=8, model_parallel=1)
+    with mesh:
+        params, opt_state, step = build_finetune(km, mesh=mesh, lr=1e-2)
+        x, y = _toy_batch(rng, 32)
+        params, opt_state, loss, acc = step(
+            params, opt_state, jnp.asarray(x), jnp.asarray(y), jax.random.PRNGKey(0)
+        )
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_finetune_tool_e2e(tmp_path):
+    """tools/finetune_keras.py: model dir + labelled WAVs -> tuned model dir
+    that the serving registry loads (head replaced for the new labels)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from audio_analysis_tpu.io.audio import write_wav
+
+    sr = 48000
+    # model dir: tiny net over [16, 226, 1] mel windows
+    tf.keras.utils.set_random_seed(3)
+    inp = tf.keras.Input((16, 226, 1))
+    x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(3, activation="softmax")(x)
+    mdir = tmp_path / "model"
+    mdir.mkdir()
+    tf.keras.Model(inp, out).save(str(mdir / "audioModel.keras"))
+    (mdir / "metadata.txt").write_text(json.dumps({
+        "name": "t", "labels": ["a", "b", "c"], "segment_length": 3,
+        "segment_stride": 1.5, "hop_length": 640, "n_mels": 16,
+        "break_freq": 1750, "htk": True, "fmin": 50, "fmax": 11000,
+        "power": 2, "db_scale": True, "threshold": 0.5, "n_fft": 4096,
+        "normalize": True,
+    }))
+    # data dir: two NEW labels -> head replacement path
+    data = tmp_path / "data"
+    rng = np.random.RandomState(0)
+    for li, label in enumerate(("kiwi", "noise")):
+        d = data / label
+        d.mkdir(parents=True)
+        for i in range(2):
+            t = np.arange(4 * sr) / sr
+            y = 0.05 * rng.randn(len(t)) + (0.3 if li else 0.02) * np.sin(2 * np.pi * 2000 * t)
+            write_wav(d / f"r{i}.wav", y.astype(np.float32), sr)
+    outdir = tmp_path / "tuned"
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "finetune_keras.py"),
+         str(mdir), str(data), str(outdir), "--epochs", "1", "--batch", "4"],
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads((outdir / "metadata.txt").read_text())
+    assert meta["labels"] == ["kiwi", "noise"]
+    km = KerasModel.load(outdir / "audioModel.keras")
+    probs = np.asarray(km(jnp.asarray(np.random.rand(2, 16, 226, 1).astype(np.float32))))
+    assert probs.shape == (2, 2)
