@@ -52,10 +52,13 @@ def parse_args(argv=None):
 AUDIO_EXTS = {".wav", ".mp3", ".ogg", ".opus", ".flac", ".m4a", ".aac"}
 
 
-def _pending(root, min_age, fail_counts, max_fails=3):
-    """Spool files awaiting analysis: audio extensions, no analysis_result
-    in the sidecar yet, not modified within `min_age` seconds (a file still
-    being uploaded has a fresh mtime), under the failure budget."""
+def _pending(root, min_age, done, fail_counts, max_fails=3):
+    """Spool files awaiting analysis: audio extensions, not already in the
+    in-memory `done` set, no analysis_result in the sidecar yet, not
+    modified within `min_age` seconds (a file still being uploaded has a
+    fresh mtime), under the failure budget. Completed paths enter `done` so
+    a long-lived daemon does not re-read every old sidecar each poll; a
+    restart re-derives the set from the sidecars themselves."""
     from pathlib import Path
 
     from audio_analysis_tpu.io.metadata import read_sidecar
@@ -63,17 +66,26 @@ def _pending(root, min_age, fail_counts, max_fails=3):
     now = time.time()
     out = []
     for f in sorted(Path(root).iterdir()):
-        if f.suffix.lower() not in AUDIO_EXTS:
+        if f.suffix.lower() not in AUDIO_EXTS or f in done:
             continue
         if fail_counts.get(f, 0) >= max_fails:
+            done.add(f)  # give up permanently; bounds fail_counts too
             continue
         try:
             if min_age and now - f.stat().st_mtime < min_age:
                 continue
         except OSError:
             continue  # vanished between listing and stat
-        meta = read_sidecar(f)
+        try:
+            meta = read_sidecar(f)
+        except Exception:
+            # a corrupt/truncated sidecar (e.g. a writer killed mid-dump)
+            # must not crash-loop the daemon: treat the file as failed
+            fail_counts[f] = fail_counts.get(f, 0) + 1
+            logging.error("unreadable sidecar for %s", f, exc_info=True)
+            continue
         if meta and "analysis_result" in meta:
+            done.add(f)
             continue
         out.append(f)
     return out
@@ -84,14 +96,18 @@ def watch(args, analyzer, t0):
     analysing new recordings in warm batches. The per-file sidecar is the
     completion record, so a restarted daemon resumes where it stopped —
     the same unit-of-retry contract as the reference's one-container-per-
-    recording deployment, without the cold start per file."""
+    recording deployment, without the cold start per file. No single bad
+    input may take the daemon down: decode, analysis, and sidecar-write
+    failures are logged and budgeted per file (3 attempts), then skipped."""
     root = args.files[0]
     fail_counts = {}
+    done = set()
     polls = 0
     while args.max_polls is None or polls < args.max_polls:
-        todo = _pending(root, args.poll_interval, fail_counts)
+        todo = _pending(root, args.poll_interval, done, fail_counts)
         for i in range(0, len(todo), args.batch_size):
             chunk = todo[i : i + args.batch_size]
+            t_batch = time.time()
             recs, good = [], []
             for f in chunk:
                 try:
@@ -105,10 +121,21 @@ def watch(args, analyzer, t0):
                     logging.error("failed to decode %s", f, exc_info=True)
             if not good:
                 continue
-            for fname, result in zip(good, analyzer.analyse_recordings(recs)):
-                result["processing_time_seconds"] = round(time.time() - t0, 1)
-                write_sidecar_result(fname, result)
-                logging.info("analysed %s", fname)
+            try:
+                for fname, result in zip(good, analyzer.analyse_recordings(recs)):
+                    result["processing_time_seconds"] = round(
+                        time.time() - t_batch, 1
+                    )
+                    write_sidecar_result(fname, result)
+                    done.add(fname)
+                    logging.info("analysed %s", fname)
+            except Exception:
+                for f in good:
+                    fail_counts[f] = fail_counts.get(f, 0) + 1
+                logging.error(
+                    "analysis failed for batch %s", [str(f) for f in good],
+                    exc_info=True,
+                )
         polls += 1
         if args.max_polls is None or polls < args.max_polls:
             time.sleep(args.poll_interval)

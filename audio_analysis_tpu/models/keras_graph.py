@@ -253,6 +253,15 @@ class KerasModel:
                     shape[1] = shape[2] = 1
                 keep = jax.random.bernoulli(key, 1.0 - rate, tuple(shape))
                 return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+            if ctx is not None and cls == "GaussianNoise" and cfg.get("stddev", 0):
+                ctx["n"] += 1
+                key = jax.random.fold_in(ctx["rng"], ctx["n"])
+                return x + cfg["stddev"] * jax.random.normal(key, x.shape, x.dtype)
+            if ctx is not None and cls == "GaussianDropout" and rate > 0:
+                ctx["n"] += 1
+                key = jax.random.fold_in(ctx["rng"], ctx["n"])
+                std = float(np.sqrt(rate / (1.0 - rate)))
+                return x * (1.0 + std * jax.random.normal(key, x.shape, x.dtype))
             return x
         if "MagTransform" in cls or "MagTransform" in (layer.get("registered_name") or ""):
             return mag_transform(x, v[0])
@@ -321,7 +330,13 @@ class KerasModel:
                 red = tuple(i for i in range(x.ndim) if i != axis_n)
                 xf = x.astype(jnp.float32)
                 bm = jnp.mean(xf, red)
-                bv = jnp.mean(jnp.square(xf), red) - jnp.square(bm)
+                # centered moment, NOT E[x^2]-E[x]^2: the uncentered form
+                # cancels catastrophically for large-mean activations
+                # (error ~ mean^2 * 2^-24 exceeds eps once |mean| > ~130)
+                # and can go negative into the rsqrt
+                bv = jnp.mean(
+                    jnp.square(xf - jnp.expand_dims(bm, red)), red
+                )
                 ctx["stats"][self._prefix + self._h5key[name]] = (bm, bv)
                 shape = [1] * x.ndim
                 shape[axis_n] = x.shape[axis_n]

@@ -161,6 +161,11 @@ def build_finetune(
             donate_argnums=(0, 1),
         )
     else:
+        # fresh buffers: jit donates argument 0, and donating km.params'
+        # own arrays would leave the model holding deleted buffers after
+        # the first step (real-TPU donation; the CPU test backend ignores
+        # donation, which would mask the bug)
+        params = jax.tree_util.tree_map(jnp.array, params)
         opt_state = optimizer.init(params)
         jit_step = jax.jit(step, donate_argnums=(0, 1))
     return params, opt_state, jit_step

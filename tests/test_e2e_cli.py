@@ -160,6 +160,10 @@ def test_batch_watch_mode(model_dir, recording, tmp_path):
     shutil.copy(recording, done)
     (spool / "done.txt").write_text(json.dumps({"analysis_result": {"marker": 1}}))
     (spool / "notes.md").write_text("ignored")
+    # a truncated sidecar (writer killed mid-dump) must not crash the daemon
+    corrupt = spool / "corrupt.wav"
+    shutil.copy(recording, corrupt)
+    (spool / "corrupt.txt").write_text('{"analysis_resu')
 
     batch_run(
         ["--watch", "--max-polls", "1", "--poll-interval", "0",

@@ -47,7 +47,7 @@ def main():
     from audio_analysis_tpu.io.modelconfig import ModelConfig
     from audio_analysis_tpu.models.keras_graph import KerasModel
     from audio_analysis_tpu.parallel.finetune import build_finetune, replace_head
-    from audio_analysis_tpu.pipeline.frontend import spectrogram_grid
+    from audio_analysis_tpu.pipeline.classify import features_for_config
 
     model_dir = Path(args.model_dir)
     cfg = ModelConfig.load(model_dir)
@@ -67,31 +67,30 @@ def main():
         n = int(args.mesh.split("=")[1])
         mesh = make_mesh(n_devices=n, model_parallel=1)
 
-    feats_fn = jax.jit(
-        lambda pcm: spectrogram_grid(
-            pcm,
-            sr=sr,
-            hop_length=cfg.hop_length,
-            n_fft=cfg.n_fft,
-            n_mels=cfg.n_mels,
-            mel_break=cfg.break_freq,
-            htk=cfg.htk,
-            power=cfg.power,
-            db_scale=cfg.db_scale,
-            normalize=cfg.normalize,
-            channels=3 if cfg.is_efficientnet else int(cfg.channels),
-        )
-    )
+    def _feats(pcm):
+        # EXACTLY the serving frontend (fmin/fmax/mean_sub/use_mfcc and the
+        # EfficientNet 3-channel repeat included) — training features must
+        # match what pipeline/classify.py feeds at inference
+        x = features_for_config(pcm, sr, cfg)
+        if cfg.is_efficientnet:
+            x = jnp.repeat(x, 3, axis=-1)
+        return x
+
+    feats_fn = jax.jit(_feats)
 
     params, opt_state, step = build_finetune(km, mesh=mesh, lr=args.lr)
     rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
     n = len(windows)
+    batch = min(args.batch, n)
+    if batch < 2:
+        sys.exit(f"need at least 2 training windows, found {n}")
+    loss = acc = float("nan")
     i_step = 0
     for epoch in range(args.epochs):
         order = rng.permutation(n)
-        for lo in range(0, n - args.batch + 1, args.batch):
-            idx = order[lo : lo + args.batch]
+        for lo in range(0, n - batch + 1, batch):
+            idx = order[lo : lo + batch]
             feats = feats_fn(jnp.asarray(windows[idx]))
             params, opt_state, loss, acc = step(
                 params,
