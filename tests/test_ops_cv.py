@@ -118,23 +118,23 @@ def _unpack_u32(u, width):
     return bits[:, :width]
 
 
-@pytest.mark.parametrize("kh,kw", [(4, 4), (10, 42), (1, 42), (3, 3), (2, 5), (1, 97)])
+@pytest.mark.parametrize("kh,kw", [(4, 4), (10, 42), (1, 42), (3, 3), (2, 5), (1, 97), (20, 50)])
 @pytest.mark.parametrize("w", [128, 150, 33])
 def test_packed_dilate_matches_cv2(rng, kh, kw, w):
     from audio_analysis_tpu.ops.morphology import packed_dilate
 
-    m = _rand_mask(rng, 64, w)
+    m = _rand_mask(rng, 8 if kh == 20 else 64, w)  # kh=20 > 8 rows: kernel taller than the mask
     ref = cv2.dilate(m, np.ones((kh, kw), np.uint8))
     got = _unpack_u32(packed_dilate(_pack_u32(m), kh, kw), w)
     np.testing.assert_array_equal(got, ref)
 
 
-@pytest.mark.parametrize("kh,kw", [(4, 4), (10, 42), (1, 42), (3, 3), (2, 5), (1, 97)])
+@pytest.mark.parametrize("kh,kw", [(4, 4), (10, 42), (1, 42), (3, 3), (2, 5), (1, 97), (20, 50)])
 @pytest.mark.parametrize("w", [128, 150, 33])
 def test_packed_erode_matches_cv2(rng, kh, kw, w):
     from audio_analysis_tpu.ops.morphology import packed_erode
 
-    m = _rand_mask(rng, 64, w, p=0.85)
+    m = _rand_mask(rng, 8 if kh == 20 else 64, w, p=0.85)
     ref = cv2.erode(m, np.ones((kh, kw), np.uint8))
     u = _pack_u32(m)
     # pad bits past the logical width must be pre-set (erode contract)
