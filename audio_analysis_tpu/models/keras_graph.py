@@ -251,6 +251,13 @@ class KerasModel:
                 shape = list(x.shape)
                 if cls == "SpatialDropout2D":  # one mask per (batch, channel)
                     shape[1] = shape[2] = 1
+                elif cfg.get("noise_shape"):
+                    # e.g. EfficientNet's stochastic depth: (None, 1, 1, 1)
+                    # — None dims follow the input, fixed dims broadcast
+                    shape = [
+                        x.shape[d] if n is None else int(n)
+                        for d, n in enumerate(cfg["noise_shape"])
+                    ]
                 keep = jax.random.bernoulli(key, 1.0 - rate, tuple(shape))
                 return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
             if ctx is not None and cls == "GaussianNoise" and cfg.get("stddev", 0):

@@ -109,11 +109,38 @@ def build_finetune(
     softmax (every released classifier), "logits" otherwise.
     """
     params = km.params
-    optimizer = optax.adamw(lr, weight_decay=weight_decay, mask=decay_mask(km))
-    frozen = non_trainable_mask(km)
 
-    def loss_fn(p, feats, labels, rng):
-        out, bn_stats = km.apply_train(p, feats, rng)
+    # Integer variables (e.g. the adapted Normalization layer's `count`)
+    # cannot be differentiated — split them out as step constants; None is
+    # an empty pytree subtree, so the float structure stays consistent
+    # across params / grads / optimizer state / masks.
+    def _is_float(a):
+        return jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+
+    def _split_floats(p):
+        fl = {k: [a if _is_float(a) else None for a in v] for k, v in p.items()}
+        il = {k: [None if _is_float(a) else a for a in v] for k, v in p.items()}
+        return fl, il
+
+    def _merge(fl, il):
+        return {
+            k: [a if a is not None else b for a, b in zip(fl[k], il[k])] for k in fl
+        }
+
+    def _float_structured(mask):
+        return {
+            k: [m if _is_float(a) else None for m, a in zip(mask[k], params[k])]
+            for k in mask
+        }
+
+    optimizer = optax.adamw(
+        lr, weight_decay=weight_decay, mask=_float_structured(decay_mask(km))
+    )
+    frozen = _float_structured(non_trainable_mask(km))
+    _, int_leaves = _split_floats(params)
+
+    def loss_fn(pf, feats, labels, rng):
+        out, bn_stats = km.apply_train(_merge(pf, int_leaves), feats, rng)
         if outputs == "probs":
             logp = jnp.log(jnp.clip(out, 1e-9, 1.0))
         else:
@@ -123,32 +150,35 @@ def build_finetune(
         return nll, (acc, bn_stats)
 
     def step(p, opt_state, feats, labels, rng):
+        pf, pi = _split_floats(p)
         (loss, (acc, bn_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, feats, labels, rng
+            pf, feats, labels, rng
         )
-        updates, opt_state = optimizer.update(grads, opt_state, p)
+        updates, opt_state = optimizer.update(grads, opt_state, pf)
         # hard-freeze the statistics: Normalization stats sit in the live
         # forward path, so their gradients are NOT structurally zero — the
         # EMA (BN) / nothing (Normalization) is their only legal update
         updates = {
-            key: [jnp.zeros_like(u) if fz else u for u, fz in zip(us, frozen[key])]
+            key: [
+                None if u is None else (jnp.zeros_like(u) if fz else u)
+                for u, fz in zip(us, frozen[key])
+            ]
             for key, us in updates.items()
         }
-        p = optax.apply_updates(p, updates)
-        p = dict(p)
+        pf = optax.apply_updates(pf, updates)
         for key, (bm, bv) in bn_stats.items():
-            vs = list(p[key])
+            vs = list(pf[key])
             vs[-2] = bn_momentum * vs[-2] + (1.0 - bn_momentum) * bm
             vs[-1] = bn_momentum * vs[-1] + (1.0 - bn_momentum) * bv
-            p[key] = vs
-        return p, opt_state, loss, acc
+            pf[key] = vs
+        return _merge(pf, pi), opt_state, loss, acc
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data2 = NamedSharding(mesh, P("data", *([None] * (feats_ndim - 1))))
         data1 = NamedSharding(mesh, P("data"))
         params = jax.device_put(params, jax.tree_util.tree_map(lambda _: repl, params))
-        opt_state = optimizer.init(params)
+        opt_state = optimizer.init(_split_floats(params)[0])
         jit_step = jax.jit(
             step,
             in_shardings=(
@@ -166,6 +196,6 @@ def build_finetune(
         # the first step (real-TPU donation; the CPU test backend ignores
         # donation, which would mask the bug)
         params = jax.tree_util.tree_map(jnp.array, params)
-        opt_state = optimizer.init(params)
+        opt_state = optimizer.init(_split_floats(params)[0])
         jit_step = jax.jit(step, donate_argnums=(0, 1))
     return params, opt_state, jit_step

@@ -210,3 +210,45 @@ def test_finetune_tool_e2e(tmp_path):
     km = KerasModel.load(outdir / "audioModel.keras")
     probs = np.asarray(km(jnp.asarray(np.random.rand(2, 16, 226, 1).astype(np.float32))))
     assert probs.shape == (2, 2)
+
+
+@pytest.mark.slow
+def test_finetune_efficientnet_b0(tmp_path):
+    """The reference's flagship architecture (EfficientNetB0,
+    src/identify_tracks.py:539) fine-tunes natively: stochastic-depth
+    Dropout (noise_shape), dozens of BatchNorms with batch statistics,
+    and the loss moves under the step."""
+    import tempfile
+
+    tf.keras.utils.set_random_seed(7)
+    model = tf.keras.applications.EfficientNetB0(
+        weights=None, input_shape=(64, 64, 3), classes=5
+    )
+    p = str(tmp_path / "b0.keras")
+    model.save(p)
+    km = KerasModel.load(p)
+    n_bn = sum(1 for _, cls, _ in km.walk_layers() if cls == "BatchNormalization")
+    assert n_bn > 40  # the real architecture, not a toy
+    bn_key = next(k for k, cls, _ in km.walk_layers() if cls == "BatchNormalization")
+    conv_key = next(k for k, cls, _ in km.walk_layers() if cls == "Conv2D")
+    mean0 = np.asarray(km.params[bn_key][-2]).copy()
+    kernel0 = np.asarray(km.params[conv_key][0]).copy()
+    params, opt_state, step = build_finetune(km, lr=1e-4)
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(4):
+        y = rng.randint(0, 5, 8).astype(np.int32)
+        x = (rng.rand(8, 64, 64, 3) * 255 * (1 + y[:, None, None, None]) / 5).astype(
+            np.float32
+        )
+        params, opt_state, loss, acc = step(
+            params, opt_state, jnp.asarray(x), jnp.asarray(y), jax.random.fold_in(key, i)
+        )
+        losses.append(float(loss))
+    # 4 steps of a random-init 5M-param net with batch-stat BN oscillate;
+    # assert the machinery engages (finite, gradients applied, EMA ran),
+    # not a loss trend — convergence is pinned on the small model above
+    assert all(np.isfinite(l) for l in losses), losses
+    assert not np.allclose(np.asarray(params[conv_key][0]), kernel0)  # grads flowed
+    assert not np.allclose(np.asarray(params[bn_key][-2]), mean0)  # BN EMA ran
