@@ -121,24 +121,48 @@ def watch(args, analyzer, t0):
                     logging.error("failed to decode %s", f, exc_info=True)
             if not good:
                 continue
-            try:
-                for fname, result in zip(good, analyzer.analyse_recordings(recs)):
-                    result["processing_time_seconds"] = round(
-                        time.time() - t_batch, 1
-                    )
-                    write_sidecar_result(fname, result)
-                    done.add(fname)
-                    logging.info("analysed %s", fname)
-            except Exception:
-                for f in good:
-                    fail_counts[f] = fail_counts.get(f, 0) + 1
-                logging.error(
-                    "analysis failed for batch %s", [str(f) for f in good],
-                    exc_info=True,
-                )
+            _analyse_chunk(analyzer, good, recs, fail_counts, done, t_batch)
         polls += 1
         if args.max_polls is None or polls < args.max_polls:
             time.sleep(args.poll_interval)
+
+
+def _analyse_chunk(analyzer, files, recs, fail_counts, done, t_batch):
+    """Analyse `files` and write each sidecar, isolating failures per file.
+
+    A batch-level analysis failure bisects down to the offending
+    recording(s): a single poison input must not strike the 3-attempt
+    budget of its healthy neighbours (which would otherwise re-form the
+    same sorted chunk every poll and be permanently skipped together).
+    A sidecar-write failure likewise strikes only its own file — the
+    remaining results in the batch are still written."""
+    try:
+        results = analyzer.analyse_recordings(recs)
+    except Exception:
+        if len(files) == 1:
+            f = files[0]
+            fail_counts[f] = fail_counts.get(f, 0) + 1
+            logging.error("analysis failed for %s", f, exc_info=True)
+            return
+        logging.error(
+            "analysis failed for batch of %d; bisecting to isolate",
+            len(files),
+            exc_info=True,
+        )
+        mid = len(files) // 2
+        _analyse_chunk(analyzer, files[:mid], recs[:mid], fail_counts, done, t_batch)
+        _analyse_chunk(analyzer, files[mid:], recs[mid:], fail_counts, done, t_batch)
+        return
+    for fname, result in zip(files, results):
+        result["processing_time_seconds"] = round(time.time() - t_batch, 1)
+        try:
+            write_sidecar_result(fname, result)
+        except Exception:
+            fail_counts[fname] = fail_counts.get(fname, 0) + 1
+            logging.error("failed to write sidecar for %s", fname, exc_info=True)
+            continue
+        done.add(fname)
+        logging.info("analysed %s", fname)
 
 
 def run(argv=None):

@@ -137,8 +137,11 @@ _signal_mask_program = partial(jax.jit, static_argnames=("sr", "hop_length", "n_
 )
 
 # per-recording run budget for the compact mask transfer; overflowing
-# recordings (adversarially dense masks) fall back to the packed mask
-MAX_RUNS = int(__import__("os").environ.get("AAT_MAX_RUNS", "16384"))
+# recordings (adversarially dense masks) fall back to the packed mask.
+# Read from AAT_MAX_RUNS at call time so the knob works however late it is
+# set (each distinct budget compiles its own tiny run-extraction program).
+def max_runs() -> int:
+    return int(__import__("os").environ.get("AAT_MAX_RUNS", "16384"))
 
 
 def _popcount32(w: jnp.ndarray) -> jnp.ndarray:
@@ -240,7 +243,7 @@ def signal_noise(frames, sr, hop_length=281, n_valid_samples=None, n_fft=4096):
         frames, jnp.int32(n_valid_samples), sr=sr, hop_length=hop_length, n_fft=n_fft
     )
     n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
-    runs = _runs_from_packed_program(packed, width=n_frames_total, max_runs=MAX_RUNS)
+    runs = _runs_from_packed_program(packed, width=n_frames_total, max_runs=max_runs())
     stats = _stats_from_mask_outputs((packed,) + runs, n_frames_total)
     return _signals_from_stats(stats, sr, hop_length, n_fft)
 
@@ -321,7 +324,7 @@ def detect_batch_dispatch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096)
     # only KBs cross the wire; async, so it pipelines behind the big program
     n_frames_total = num_frames(frames_batch.shape[-1], hop_length, n_fft)
     runs_s, runs_e, n_runs = _runs_from_packed_program(
-        packed, width=n_frames_total, max_runs=MAX_RUNS
+        packed, width=n_frames_total, max_runs=max_runs()
     )
     return (
         found, flat_sec, packed, runs_s, runs_e, n_runs,
@@ -427,7 +430,7 @@ def detect(frames, sr, n_valid_samples=None, hop_length=281, n_fft=4096):
         frames, jnp.int32(n_valid_samples), sr=sr, hop_length=hop_length, n_fft=n_fft
     )
     n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
-    runs = _runs_from_packed_program(packed, width=n_frames_total, max_runs=MAX_RUNS)
+    runs = _runs_from_packed_program(packed, width=n_frames_total, max_runs=max_runs())
     found = bool(np.asarray(found))
     length = int(np.asarray(flat_sec)) if found else n_valid_samples / sr
     stats = _stats_from_mask_outputs((packed,) + runs, n_frames_total)

@@ -64,17 +64,66 @@ def decay_mask(km):
     }
 
 
+# layers that pass their single input through unchanged shape-wise — safe to
+# trace through when walking back from the output spec to the head Dense
+_PASS_THROUGH = {"Activation", "Softmax", "Dropout", "AlphaDropout", "Reshape",
+                 "Flatten", "Identity"}
+
+
+def _head_from_output(km):
+    """Resolve the classification head by tracing the model's output spec
+    backwards through pass-through wrappers to a Dense layer. Returns
+    (weight_key, layer_config) or None when the output graph shape is not
+    one we can follow (multi-output, Sequential, non-Dense tail)."""
+    from audio_analysis_tpu.models.keras_graph import _collect_history
+
+    spec = getattr(km, "_output_spec", None)
+    if not spec or len(spec) != 1:
+        return None
+    name = spec[0][0]
+    for _ in range(8):
+        layer = km._by_name.get(name)
+        if layer is None:
+            return None
+        cls = layer["class_name"]
+        if cls == "Dense":
+            return km._prefix + km._h5key[name], layer["config"]
+        if cls not in _PASS_THROUGH:
+            return None
+        nodes = layer.get("inbound_nodes", [])
+        if len(nodes) != 1:
+            return None
+        refs = _collect_history(nodes[0])
+        if len(refs) != 1:
+            return None
+        name = refs[0][0]
+    return None
+
+
 def replace_head(km, num_classes, seed=0):
     """Re-initialise the final Dense layer for a new label space (transfer
     learning): Glorot-uniform kernel [in, num_classes], zero bias. Mutates
     km.params and the layer config (units) so an exported archive carries a
-    consistent graph. Returns the head's weight key."""
-    head = None
-    for key, cls, cfg in km.walk_layers():
-        if cls == "Dense":
-            head = (key, cfg)
+    consistent graph. Returns the head's weight key.
+
+    The head is the Dense feeding the model's output spec; when that can't
+    be traced (Sequential, unusual tail) fall back to the last Dense in
+    config order, warning if the choice is ambiguous."""
+    import logging
+
+    head = _head_from_output(km)
     if head is None:
-        raise ValueError("model has no Dense layer to act as the head")
+        denses = [(key, cfg) for key, cls, cfg in km.walk_layers() if cls == "Dense"]
+        if not denses:
+            raise ValueError("model has no Dense layer to act as the head")
+        if len(denses) > 1:
+            logging.warning(
+                "could not trace the output head; %d Dense layers found, "
+                "replacing the last in config order (%s)",
+                len(denses),
+                denses[-1][0],
+            )
+        head = denses[-1]
     key, cfg = head
     vs = km.params[key]
     fan_in = vs[0].shape[0]

@@ -87,3 +87,65 @@ def test_batch_cli_sidecars(model_dir, tmp_path):
     batch_run(["--bird-model", str(model_dir), str(p)])
     side = json.loads((tmp_path / "s.txt").read_text())
     assert "analysis_result" in side
+
+
+def test_watch_bisect_isolates_poison_file(tmp_path):
+    """A batch-level analysis failure must strike only the poison file:
+    the chunk is bisected so healthy neighbours still get analysed and
+    written (advisor finding: the sorted chunk otherwise re-forms each
+    poll and healthy files exhaust their 3-strike budget alongside it)."""
+    from audio_analysis_tpu.cli.batch import _analyse_chunk
+
+    class FakeAnalyzer:
+        def analyse_recordings(self, recs):
+            if any(r is None for r in recs):
+                raise RuntimeError("poison recording")
+            return [{"ok": True} for _ in recs]
+
+    files = [tmp_path / f"r{i}.wav" for i in range(4)]
+    for f in files:
+        f.write_bytes(b"")
+    recs = [object(), None, object(), object()]  # r1 is poison
+    fail_counts, done = {}, set()
+    import time
+
+    _analyse_chunk(FakeAnalyzer(), files, recs, fail_counts, done, time.time())
+    # only the poison file accumulated a strike; the rest completed
+    assert fail_counts == {files[1]: 1}
+    assert done == {files[0], files[2], files[3]}
+    for f in done:
+        assert json.loads((tmp_path / (f.stem + ".txt")).read_text())[
+            "analysis_result"
+        ] == {"ok": True, "processing_time_seconds": pytest.approx(0, abs=10)}
+
+
+def test_watch_sidecar_write_failure_strikes_only_its_file(tmp_path, monkeypatch):
+    """One failing sidecar write must not discard the batch's other
+    results or strike already-written files."""
+    import audio_analysis_tpu.cli.batch as batch_mod
+
+    class FakeAnalyzer:
+        def analyse_recordings(self, recs):
+            return [{"ok": i} for i in range(len(recs))]
+
+    files = [tmp_path / f"w{i}.wav" for i in range(3)]
+    for f in files:
+        f.write_bytes(b"")
+    real_write = batch_mod.write_sidecar_result
+
+    def flaky_write(fname, result):
+        if fname == files[1]:
+            raise OSError("disk full")
+        real_write(fname, result)
+
+    monkeypatch.setattr(batch_mod, "write_sidecar_result", flaky_write)
+    fail_counts, done = {}, set()
+    import time
+
+    batch_mod._analyse_chunk(
+        FakeAnalyzer(), files, [object()] * 3, fail_counts, done, time.time()
+    )
+    assert fail_counts == {files[1]: 1}
+    assert done == {files[0], files[2]}
+    assert (tmp_path / "w0.txt").exists() and (tmp_path / "w2.txt").exists()
+    assert not (tmp_path / "w1.txt").exists()

@@ -89,8 +89,13 @@ def main():
     i_step = 0
     for epoch in range(args.epochs):
         order = rng.permutation(n)
-        for lo in range(0, n - batch + 1, batch):
+        for lo in range(0, n, batch):
             idx = order[lo : lo + batch]
+            if len(idx) < batch:
+                # keep the compiled batch shape: wrap the tail remainder
+                # with the start of this epoch's shuffle so every labelled
+                # window contributes each epoch (no dropped remainder)
+                idx = np.concatenate([idx, order[: batch - len(idx)]])
             feats = feats_fn(jnp.asarray(windows[idx]))
             params, opt_state, loss, acc = step(
                 params,
