@@ -42,15 +42,29 @@ def _bucket(n, quantum=64):
 _GROUP_PROGRAMS = {}
 
 
-def _fused_group_program(models, cfg: ModelConfig, sr, sample_size, n_tracks_b, mesh=None):
+def _fused_group_program(
+    models, cfg: ModelConfig, sr, sample_size, n_tracks_b, mesh=None,
+    is_efficientnet=None,
+):
     """One device program: window gather -> frontend -> every model ->
     ensemble mean -> per-track means. A single host round trip per model
     group (RPC latency to the TPU dominates small dispatches).
 
+    `cfg` supplies the FRONTEND hyperparameters. For later model groups this
+    is the FIRST group's config — the reference computes features once and
+    feeds them to every group verbatim (src/identify_tracks.py:500-529,
+    ``data = track_data``), even when the groups' spectral settings differ.
+    Only the EfficientNet 3-channel repeat follows the CURRENT group's model
+    name (src/identify_tracks.py:539-540), hence the separate
+    `is_efficientnet` knob (defaults to cfg's own).
+
     With `mesh` (multi-host serving) the track-mean output is pinned
     replicated so every process can read every track's probabilities."""
+    if is_efficientnet is None:
+        is_efficientnet = cfg.is_efficientnet
     key = (
         tuple(id(m) for m in models),  # models are cached per path: stable
+        bool(is_efficientnet),
         # content key for the mesh (id() keys once caused a
         # recompile-per-recording regression — see CLAUDE.md)
         None
@@ -121,7 +135,7 @@ def _fused_group_program(models, cfg: ModelConfig, sr, sample_size, n_tracks_b, 
             use_mfcc=bool(cfg.use_mfcc),
             channels=int(cfg.channels),
         )
-        if cfg.is_efficientnet:
+        if is_efficientnet:
             feats = jnp.repeat(feats, 3, axis=-1)  # reference :539-540
         probs = None
         for m in models:
@@ -369,13 +383,16 @@ def classify_frames(
             )
             has_windows = len(plan.base) > 0
             plan = pad_plan_to_bucket(plan)
-            track_data = (plan, has_windows)
+            # like the reference's ``data = track_data`` (:525-528): later
+            # groups reuse the FIRST group's features verbatim, so the
+            # feature-defining config travels with the plan
+            track_data = (plan, has_windows, cfg)
         else:
             logging.info(
                 "Re using track data this will cuase problems if the STFT "
                 "settings are not the same for multiple models"
             )
-        plan, has_windows = track_data
+        plan, has_windows, feat_cfg = track_data
         if not has_windows:
             # every track is out of the model's frequency band: the
             # reference's per-track loop just never predicts (empty data per
@@ -397,7 +414,7 @@ def classify_frames(
                 filtered = _apply_track_filters(frames_dev, plan, sr)
                 if filtered is not None:
                     grid = _overwrite_filtered_rows(grid, filtered, plan)
-                feats = features_for_config(grid, sr, cfg)
+                feats = features_for_config(grid, sr, feat_cfg)
                 all_probs = []
                 for model, mcfg in predict_models:
                     x = feats
@@ -411,7 +428,8 @@ def classify_frames(
             else:
                 n_tracks_b = _bucket(plan.n_tracks, 8)
                 prog = _fused_group_program(
-                    models_only, cfg, sr, plan.sample_size, n_tracks_b
+                    models_only, feat_cfg, sr, plan.sample_size, n_tracks_b,
+                    is_efficientnet=cfg.is_efficientnet,
                 )
                 track_probs = np.asarray(
                     prog(

@@ -269,8 +269,13 @@ class BatchAnalyzer:
             if n_total_tracks == 0 or len(combined.base) == 0:
                 break
             n_tracks_b = _bucket(n_total_tracks, 8)
+            # frontend params come from the FIRST group's config — the
+            # reference reuses group-1's computed features for every later
+            # group (src/identify_tracks.py:525-528); only the EfficientNet
+            # channel repeat follows the current group's model name
             prog = _fused_group_program(
-                models_only, cfg, sr, combined.sample_size, n_tracks_b
+                models_only, cfg0, sr, combined.sample_size, n_tracks_b,
+                is_efficientnet=cfg.is_efficientnet,
             )
             padded = pad_plan_to_bucket(
                 WindowPlan(
@@ -363,15 +368,17 @@ class BatchAnalyzer:
         flat_frames = dist.replicate(self.mesh, frames_dev).reshape(-1)
         n_windows_global = sum(w_counts)
         track_offsets = np.cumsum([0] + [len(t) for t in all_tracks])
+        cfg0 = self.groups[0][0][1]
         for group in self.groups:
             cfg = group[0][1]
             models_only = [m for m, _ in group]
             if n_total_tracks == 0 or n_windows_global == 0:
                 break  # globally agreed: every process breaks together
             n_tracks_b = _bucket(n_total_tracks, 8)
+            # group-1 features for every group (reference :525-528)
             prog = _fused_group_program(
-                models_only, cfg, sr, combined.sample_size, n_tracks_b,
-                mesh=self.mesh,
+                models_only, cfg0, sr, combined.sample_size, n_tracks_b,
+                mesh=self.mesh, is_efficientnet=cfg.is_efficientnet,
             )
 
             def put(a):
@@ -413,14 +420,19 @@ class BatchAnalyzer:
             else:
                 frames_b = frames_b.astype(jnp.float32)
             track_data = None
+            feats = None
+            cfg0 = self.groups[0][0][1]
             for group in self.groups:
                 cfg = group[0][1]
                 if track_data is None:
-                    track_data = build_window_grid(frames_b, sr, tracks, cfg, rng=rng)
+                    track_data = build_window_grid(frames_b, sr, tracks, cfg0, rng=rng)
                 grid, plan = track_data
                 if len(plan.base) == 0:
                     break
-                feats = features_for_config(grid, sr, cfg)
+                if feats is None:
+                    # group-1 features are reused verbatim by later groups
+                    # (reference src/identify_tracks.py:525-528)
+                    feats = features_for_config(grid, sr, cfg0)
                 all_probs = []
                 for model, _ in group:
                     x = feats

@@ -190,3 +190,69 @@ def test_get_chirp_samples_windows():
     assert ws[0][0] == 32000.0 and len(ws[0]) == 5 * 32000
     # second window starts one 5 s stride later
     assert ws[1][0] == 6 * 32000 and len(ws[1]) == 5 * 32000
+
+
+def _prenet_result_map(tracks):
+    out = {}
+    for i, t in enumerate(tracks):
+        for r in t.results:
+            if r.model == "prenet":
+                preds = sorted((p.what, p.confidence) for p in r.predictions)
+                raw = (
+                    (r.raw_prediction.what, r.raw_prediction.confidence)
+                    if r.raw_prediction is not None
+                    else None
+                )
+                out[i] = (preds, raw)
+    return out
+
+
+def test_cross_group_feature_reuse_matches_reference(tmp_path):
+    """Two groups whose configs differ only in break_freq: the reference
+    feeds group-1's computed FEATURES to group 2 verbatim
+    (src/identify_tracks.py:525-528, ``data = track_data``), so group-2
+    predictions must equal a run where the group-2 model carries group-1's
+    spectral config — NOT features recomputed with its own break_freq."""
+    import shutil
+
+    main = _save_model(tmp_path / "main", "mainnet", seed=3)
+    # linear head amplifies feature differences past the int rounding
+    pre = tmp_path / "pre"
+    pre.mkdir()
+    tf.keras.utils.set_random_seed(21)
+    inp = tf.keras.Input((64, 226, 1))
+    x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(len(LABELS))(x)
+    tf.keras.Model(inp, out).save(str(pre / "audioModel.keras"))
+    meta = {
+        "name": "prenet",
+        "labels": LABELS,
+        "segment_length": 3,
+        "segment_stride": 1.5,
+        "hop_length": 640,
+        "n_mels": 64,
+        "break_freq": 700,
+        "htk": True,
+        "threshold": 0.05,
+        "normalize": True,
+        "pre_model": True,
+    }
+    (pre / "metadata.txt").write_text(json.dumps(meta))
+    # same weights, group-1 spectral config: the reference-expected oracle
+    pre_ref = tmp_path / "pre_ref"
+    shutil.copytree(pre, pre_ref)
+    meta_ref = dict(meta, break_freq=1750)
+    (pre_ref / "metadata.txt").write_text(json.dumps(meta_ref))
+
+    rec = _recording(5)
+    got, *_ = classify_frames(rec, SR, [str(main), str(pre)], False, None, rng=None)
+    want, *_ = classify_frames(rec, SR, [str(main), str(pre_ref)], False, None, rng=None)
+    assert len(got) == len(want) >= 1
+    got_map, want_map = _prenet_result_map(got), _prenet_result_map(want)
+    assert got_map == want_map and got_map
+
+    # sanity: with its own break_freq=700 features the prenet output is
+    # genuinely different — otherwise this test would be vacuous
+    alone, *_ = classify_frames(rec, SR, [str(pre)], False, None, rng=None)
+    assert _prenet_result_map(alone) != got_map
