@@ -42,11 +42,14 @@ def load_classifier(model_path, cfg: ModelConfig):
         stamp = 0
     import os
 
+    from audio_analysis_tpu.utils.runtime import env_flag, fast_mode
+
     key = (
         str(model_path.resolve()),
         stamp,
         (cfg.raw or {}).get("net_dtype"),
-        os.environ.get("AAT_KERAS_BF16", "0"),
+        env_flag("AAT_KERAS_BF16"),
+        fast_mode(),
     )
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]
@@ -92,13 +95,18 @@ def _load_classifier_uncached(model_path, cfg: ModelConfig):
     # Keras archive (file or dir containing one)
     from audio_analysis_tpu.models.keras_graph import KerasModel
 
-    # compute dtype: metadata "net_dtype" wins; AAT_KERAS_BF16=1 flips the
+    # compute dtype: metadata "net_dtype" wins; AAT_KERAS_BF16=1 (or the
+    # AAT_FAST preset — an explicit AAT_KERAS_BF16=0 overrides it) flips the
     # default to bfloat16 (throughput knob — float32 keeps strict parity
     # with the reference's TF runtime; bound in test_keras_import.py)
-    import os
+    from audio_analysis_tpu.utils.runtime import env_flag, fast_mode
 
     cdt = (cfg.raw or {}).get("net_dtype")
-    if cdt is None and os.environ.get("AAT_KERAS_BF16", "0").lower() in ("1", "true", "on"):
-        cdt = "bfloat16"
+    if cdt is None:
+        bf16 = env_flag("AAT_KERAS_BF16")
+        if bf16 is None:
+            bf16 = fast_mode()
+        if bf16:
+            cdt = "bfloat16"
     km = KerasModel.load(model_path, compute_dtype=cdt)
     return _JittedModel(km.apply, km.params)

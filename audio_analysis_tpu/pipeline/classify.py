@@ -62,9 +62,16 @@ def _fused_group_program(
     replicated so every process can read every track's probabilities."""
     if is_efficientnet is None:
         is_efficientnet = cfg.is_efficientnet
+    # resolve the frontend kernel choice NOW and bake it into the cache key:
+    # the env default must not be frozen by whichever call traced first
+    # (interleaved A/B benching flips AAT_PALLAS/AAT_FAST mid-process)
+    from audio_analysis_tpu.pipeline.frontend import _use_pallas_default
+
+    use_pallas = _use_pallas_default()
     key = (
         tuple(id(m) for m in models),  # models are cached per path: stable
         bool(is_efficientnet),
+        bool(use_pallas),
         # content key for the mesh (id() keys once caused a
         # recompile-per-recording regression — see CLAUDE.md)
         None
@@ -134,6 +141,7 @@ def _fused_group_program(
             mean_sub=bool(cfg.mean_sub),
             use_mfcc=bool(cfg.use_mfcc),
             channels=int(cfg.channels),
+            use_pallas=use_pallas,
         )
         if is_efficientnet:
             feats = jnp.repeat(feats, 3, axis=-1)  # reference :539-540

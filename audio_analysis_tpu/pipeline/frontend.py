@@ -18,14 +18,19 @@ from audio_analysis_tpu.models.layers import resize_with_pad
 
 
 def _use_pallas_default() -> bool:
-    """Pallas DFT->mel kernel opt-in (AAT_PALLAS=1). The XLA FFT path stays
-    the default for PARITY: the Pallas path is 1.46x faster on the chip
-    (17.6 ms vs 25.8 ms per 128 windows, measured r2) because it never
-    materialises the [N, 2049, T] magnitude array in HBM, but its DFT
-    matmuls run as bf16 MXU passes — ~1% relative on magnitudes, up to
-    ~0.15 dB on dB-scaled features (measured on chip). Flip it on for
-    throughput when that budget is acceptable."""
-    return os.environ.get("AAT_PALLAS", "0").lower() in ("1", "true", "on")
+    """Pallas DFT->mel kernel opt-in (AAT_PALLAS=1, or the AAT_FAST=1
+    throughput preset). The XLA FFT path stays the default for PARITY: the
+    Pallas path is faster on the chip because it never materialises the
+    [N, 2049, T] magnitude array in HBM, but its DFT matmuls run as bf16 MXU
+    passes — ~1% relative on magnitudes, up to ~0.15 dB on dB-scaled
+    features (measured on chip; the full e2e batch JSON was byte-identical).
+    An explicit AAT_PALLAS=0 wins over AAT_FAST."""
+    from audio_analysis_tpu.utils.runtime import env_flag, fast_mode
+
+    v = env_flag("AAT_PALLAS")
+    if v is not None:
+        return v
+    return fast_mode()
 
 
 @partial(

@@ -178,7 +178,7 @@ class BatchAnalyzer:
 
             frames_dev = decode_pcm(encode_pcm(stacked))
             detect_handle = detect_batch_dispatch(frames_dev, n_valid, sr)
-            return (detect_handle, frames_dev, n_valid, t_bucket, B, sr)
+            return (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked)
         if self._multihost:
             from audio_analysis_tpu.parallel.distributed import make_global_batch
             from jax.sharding import PartitionSpec as P
@@ -187,7 +187,7 @@ class BatchAnalyzer:
             frames_dev = make_global_batch(self.mesh, stacked)
             n_valid_dev = make_global_batch(self.mesh, n_valid, P("data"))
             detect_handle = detect_batch_dispatch(frames_dev, n_valid_dev, sr)
-            return (detect_handle, frames_dev, n_valid, t_bucket, B, sr)
+            return (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked)
         if self.mesh is not None and B % self.mesh.shape["data"] == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -198,7 +198,7 @@ class BatchAnalyzer:
             frames_dev = jnp.asarray(stacked)
 
         detect_handle = detect_batch_dispatch(frames_dev, n_valid, sr)
-        return (detect_handle, frames_dev, n_valid, t_bucket, B, sr)
+        return (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked)
 
     def _finish(self, handle, timer=None):
         from audio_analysis_tpu.utils.runtime import StageTimer
@@ -206,7 +206,7 @@ class BatchAnalyzer:
         timer = timer or StageTimer()
         if handle is None:
             return []
-        detect_handle, frames_dev, n_valid, t_bucket, B, sr = handle
+        detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked = handle
         with timer.stage("detect"):
             detections = detect_batch_finish(detect_handle)
 
@@ -238,7 +238,7 @@ class BatchAnalyzer:
         if self._multihost:
             return self._finish_multihost(
                 per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr,
-                timer=timer,
+                stacked, timer=timer,
             )
 
         combined = self._combine_plans(plans, t_bucket)
@@ -324,7 +324,7 @@ class BatchAnalyzer:
 
     def _finish_multihost(
         self, per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr,
-        timer=None,
+        stacked, timer=None,
     ):
         """SPMD inference across processes: every process executes the SAME
         global programs (windows sharded along 'data'; XLA inserts the psum
@@ -335,11 +335,22 @@ class BatchAnalyzer:
         from audio_analysis_tpu.parallel import distributed as dist
         from jax.sharding import PartitionSpec as P
 
-        if any(p.filter_specs for p in plans):
-            raise NotImplementedError(
-                "per-track band-pass configs (filter_freq/filter_below) are "
-                "not supported in multi-host serving yet"
-            )
+        # per-track band-pass (filter_freq/filter_below, reference
+        # src/identify_tracks.py:152-161): the sosfilt work is tiny, so each
+        # process runs the per-recording single-device path over ITS local
+        # recordings (`stacked` is this host's feed; no collectives inside),
+        # then joins the usual global result all-gather. The path choice is
+        # agreed COLLECTIVELY — a process whose local plans happen to have no
+        # filtered track must not enter the SPMD programs alone.
+        has_filters = any(p.filter_specs for p in plans)
+        if any(dist.allgather_host_values(int(has_filters))):
+            with timer.stage("infer") if timer else _nullctx():
+                self._infer_with_filters(
+                    jnp.asarray(stacked), n_valid, sr, all_tracks, self.rng
+                )
+            with timer.stage("post") if timer else _nullctx():
+                results = self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
+                return dist.allgather_results(results)
 
         base_row = dist.local_offset(frames_dev)
         combined = self._combine_plans(plans, t_bucket, base_row=base_row)

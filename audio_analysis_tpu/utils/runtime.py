@@ -16,6 +16,23 @@ from pathlib import Path
 _CACHE_ENABLED = False
 
 
+def env_flag(name):
+    """Tri-state env flag: True/False when set, None when absent."""
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return None
+    return v.lower() in ("1", "true", "on", "yes")
+
+
+def fast_mode() -> bool:
+    """AAT_FAST=1 — the single evidence-backed throughput preset: Pallas
+    DFT->mel frontend + bfloat16 Keras compute (+ the wire codec, which is
+    already default-on). Parity-strict float32/FFT stays the default;
+    individual knobs (AAT_PALLAS / AAT_KERAS_BF16) override the preset in
+    either direction. Read at call/load time so a warm process can A/B."""
+    return bool(env_flag("AAT_FAST"))
+
+
 def enable_compilation_cache():
     """Idempotently point JAX at a persistent compilation cache dir."""
     global _CACHE_ENABLED

@@ -168,10 +168,36 @@ def _force(x):
 V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
 
 
-def bench_mfu(effnet_dir, sr=48000, bf16=False):
+from contextlib import contextmanager
+
+
+@contextmanager
+def _env(**kv):
+    """Temporarily set env vars (the A/B knobs are read at call time)."""
+    import os
+
+    old = {k: os.environ.get(k) for k in kv}
+    os.environ.update({k: v for k, v in kv.items() if v is not None})
+    for k, v in kv.items():
+        if v is None:
+            os.environ.pop(k, None)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def bench_mfu(effnet_dir, sr=48000):
     """Windows/s + MFU of the fused gather->frontend->EfficientNetB0->means
-    program on a dense 256-window grid (the hot kernel in isolation).
-    `bf16` loads the model on the bfloat16 compute path (AAT_KERAS_BF16)."""
+    program on a dense 256-window grid, INTERLEAVED A/B between the
+    parity-strict mode (f32 + XLA FFT) and AAT_FAST (bf16 + Pallas mel) —
+    alternating measured windows so the tunnel/host noise hits both modes
+    equally (the round-2 bf16 contradiction came from non-interleaved runs).
+    """
     import os
     import jax
     import jax.numpy as jnp
@@ -180,12 +206,9 @@ def bench_mfu(effnet_dir, sr=48000, bf16=False):
     from audio_analysis_tpu.pipeline.classify import _fused_group_program
 
     cfg = ModelConfig.load(Path(effnet_dir))
-    if bf16:
-        os.environ["AAT_KERAS_BF16"] = "1"
-    try:
-        model = load_classifier(Path(effnet_dir), cfg)
-    finally:
-        os.environ.pop("AAT_KERAS_BF16", None)
+    model = load_classifier(Path(effnet_dir), cfg)
+    with _env(AAT_FAST="1"):
+        model_fast = load_classifier(Path(effnet_dir), cfg)
     n_windows = 256
     sample_size = int(cfg.segment_length * sr)
     frames = jnp.asarray(
@@ -198,8 +221,13 @@ def bench_mfu(effnet_dir, sr=48000, bf16=False):
     tidx = np.arange(n_windows, dtype=np.int32) // 8
     n_tracks_b = 32
     prog = _fused_group_program([model], cfg, sr, sample_size, n_tracks_b)
+    with _env(AAT_FAST="1"):
+        prog_fast = _fused_group_program(
+            [model_fast], cfg, sr, sample_size, n_tracks_b
+        )
     args = (frames, jnp.asarray(base), jnp.asarray(vlo), jnp.asarray(vhi), jnp.asarray(tidx))
     _force(prog(*args))  # compile + warm
+    _force(prog_fast(*args))
 
     flops = None
     try:
@@ -217,18 +245,29 @@ def bench_mfu(effnet_dir, sr=48000, bf16=False):
         # by input area, x2 FLOPs/MAC, plus the 4096-FFT frontend
         flops = n_windows * (0.39e9 * (160 * 226) / (224 * 224) * 2 + 226 * 5 * 4096 * np.log2(4096) * 2)
 
-    reps = 8
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = prog(*args)
-    _force(out)
-    elapsed = time.perf_counter() - t0
-    windows_per_s = n_windows * reps / elapsed
-    mfu = flops * reps / elapsed / V5E_PEAK_FLOPS
+    def measure(p):
+        reps = 8
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = p(*args)
+        _force(out)
+        return n_windows * reps / (time.perf_counter() - t0)
+
+    best = {"parity": 0.0, "fast": 0.0}
+    for _ in range(3):  # interleaved windows, best-of per mode
+        best["parity"] = max(best["parity"], measure(prog))
+        best["fast"] = max(best["fast"], measure(prog_fast))
+
+    def pack(wps):
+        return {
+            "windows_per_s": round(wps, 1),
+            "mfu_vs_bf16_peak": round(flops / n_windows * wps / V5E_PEAK_FLOPS, 4),
+        }
+
     return {
-        "windows_per_s": round(windows_per_s, 1),
         "program_gflops_per_window": round(flops / n_windows / 1e9, 3),
-        "mfu_vs_bf16_peak": round(mfu, 4),
+        "parity": pack(best["parity"]),
+        "fast": pack(best["fast"]),
     }
 
 
@@ -331,24 +370,40 @@ def main():
     sr = 48000
     seconds = sum(len(r) for r in recordings) / sr
 
-    analyzer = BatchAnalyzer(models, sr=sr, bucket_seconds=60, rng=np.random.RandomState(0))
-    # warmup / compile
+    # HEADLINE: the reference-default-shaped ensemble — EfficientNetB0-scale
+    # main model + small pre-model (reference analyse.py:415-418). TuiNet
+    # pair is the secondary scenario. Parity-strict defaults are the
+    # headline number; the AAT_FAST preset (Pallas mel + bf16 compute +
+    # wire codec) is measured in the SAME loop, interleaved window-by-window
+    # so the tunnel's bandwidth swings hit both modes equally.
+    flagship = [effnet_dir, models[1]] if effnet_dir is not None else models
+    analyzer = BatchAnalyzer(
+        flagship, sr=sr, bucket_seconds=60, rng=np.random.RandomState(0)
+    )
+    analyzer.analyse_recordings(recordings)  # warm / compile
     analyzer.analyse_recordings(recordings)
-    analyzer.analyse_recordings(recordings)
+    with _env(AAT_FAST="1"):
+        analyzer_fast = BatchAnalyzer(
+            flagship, sr=sr, bucket_seconds=60, rng=np.random.RandomState(0)
+        )
+        analyzer_fast.analyse_recordings(recordings)
+        analyzer_fast.analyse_recordings(recordings)
 
-    # three measured windows of streamed batches; report the best (the
-    # remote tunnel's wire bandwidth swings ~2x on minute timescales — the
-    # max is the honest steady-state capability)
-    runs = 6
-    value = 0.0
+    runs = 4
+    best = {"parity": 0.0, "fast": 0.0}
     results = None
-    for _ in range(3):
+    for _ in range(3):  # interleaved windows; best-of per mode (tunnel noise)
         t0 = time.perf_counter()
         for results in analyzer.analyse_stream([recordings] * runs):
             pass
-        elapsed = time.perf_counter() - t0
-        value = max(value, seconds * runs / elapsed)
+        best["parity"] = max(best["parity"], seconds * runs / (time.perf_counter() - t0))
+        with _env(AAT_FAST="1"):
+            t0 = time.perf_counter()
+            for _res in analyzer_fast.analyse_stream([recordings] * runs):
+                pass
+            best["fast"] = max(best["fast"], seconds * runs / (time.perf_counter() - t0))
     assert results is not None and len(results) == batch_size
+    value = best["parity"]
 
     baseline = DEFAULT_CPU_BASELINE
     bl_file = REPO / "BASELINE_CPU.json"
@@ -356,26 +411,21 @@ def main():
         baseline = json.loads(bl_file.read_text()).get("audio_seconds_per_sec")
     vs = value / baseline if baseline else value / 100.0  # fallback: north star
 
-    # secondary scenarios (reference-flagship model scale, latency, pallas)
+    # secondary: the TuiNet pair (round-1 headline scenario)
+    tuinet_analyzer = BatchAnalyzer(
+        models, sr=sr, bucket_seconds=60, rng=np.random.RandomState(0)
+    )
+    tuinet_analyzer.analyse_recordings(recordings)  # warm
+    tuinet_tp = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _res in tuinet_analyzer.analyse_stream([recordings] * runs):
+            pass
+        tuinet_tp = max(tuinet_tp, seconds * runs / (time.perf_counter() - t0))
+
     effnet = None
     if effnet_dir is not None:
-        # streamed throughput with EfficientNetB0 as the main model
-        eff_analyzer = BatchAnalyzer(
-            [effnet_dir, models[1]], sr=sr, bucket_seconds=60,
-            rng=np.random.RandomState(0),
-        )
-        eff_analyzer.analyse_recordings(recordings)  # warm
-        eff_tp = 0.0
-        for _ in range(2):  # best-of-2 windows (tunnel noise, see `value`)
-            t0 = time.perf_counter()
-            for _res in eff_analyzer.analyse_stream([recordings] * 4):
-                pass
-            eff_tp = max(eff_tp, seconds * 4 / (time.perf_counter() - t0))
-        effnet = {
-            "throughput_audio_s_per_s": round(eff_tp, 2),
-            **bench_mfu(effnet_dir, sr=sr),
-            "bf16": bench_mfu(effnet_dir, sr=sr, bf16=True),
-        }
+        effnet = bench_mfu(effnet_dir, sr=sr)
 
     latency = bench_latency(models, sr=sr)
     pallas = bench_pallas_melspec(sr=sr)
@@ -384,10 +434,16 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"full-pipeline audio throughput, batch of {batch_size}x60s recordings (detect + 2-model ensemble + per-track JSON)",
+                "metric": (
+                    f"full-pipeline audio throughput, batch of {batch_size}x60s "
+                    "recordings (detect + EfficientNetB0+pre-model ensemble + "
+                    "per-track JSON), parity-strict defaults"
+                ),
                 "value": round(value, 2),
                 "unit": "audio-s/s/chip",
                 "vs_baseline": round(vs, 2),
+                "fast_mode_audio_s_per_s": round(best["fast"], 2),
+                "tuinet_ensemble_audio_s_per_s": round(tuinet_tp, 2),
                 "efficientnet_b0": effnet,
                 "latency_s_per_60s_recording": latency,
                 "pallas_melspec_ms_per_128_windows": pallas,

@@ -20,7 +20,7 @@ REPO = Path(__file__).resolve().parent.parent
 LABELS = ["bird", "morepork", "human", "noise"]
 
 
-def _save_model(d):
+def _save_model(d, extra_meta=None):
     d.mkdir(parents=True, exist_ok=True)
     tf.keras.utils.set_random_seed(11)
     inp = tf.keras.Input((64, 226, 1))
@@ -41,6 +41,7 @@ def _save_model(d):
         "normalize": True,
         "bird_labels": ["bird", "morepork"],
     }
+    meta.update(extra_meta or {})
     (d / "metadata.txt").write_text(json.dumps(meta))
     return d
 
@@ -62,6 +63,10 @@ def _free_port():
 
 
 def _approx_equal(a, b, path=""):
+    """Single vs multi-process must agree tightly: the programs are
+    deterministic and only the psum summation order differs, so ints
+    (track geometry after rounding, confidences) compare exactly and
+    floats to 1e-5."""
     if isinstance(a, dict) and isinstance(b, dict):
         assert set(a) == set(b), (path, set(a) ^ set(b))
         for k in a:
@@ -71,21 +76,19 @@ def _approx_equal(a, b, path=""):
         for i, (x, y) in enumerate(zip(a, b)):
             _approx_equal(x, y, f"{path}[{i}]")
     elif isinstance(a, float) or isinstance(b, float):
-        assert a == pytest.approx(b, rel=2e-2, abs=1.5), (path, a, b)
+        assert a == pytest.approx(b, rel=1e-5, abs=1e-5), (path, a, b)
     else:
         assert a == b, (path, a, b)
 
 
-@pytest.mark.slow
-def test_two_process_serving_matches_single(tmp_path):
-    model = _save_model(tmp_path / "model")
-    single_out = tmp_path / "single.json"
+def _run_single_and_two_proc(tmp_path, model, total, tag=""):
+    single_out = tmp_path / f"single{tag}.json"
     r = subprocess.run(
         [
             sys.executable, str(WORKER),
             "--model", str(model),
             "--out", str(single_out),
-            "--total-recordings", "8",
+            "--total-recordings", str(total),
         ],
         env=_env(8), capture_output=True, text=True, timeout=900,
     )
@@ -95,7 +98,7 @@ def test_two_process_serving_matches_single(tmp_path):
     procs = []
     outs = []
     for pid in range(2):
-        out = tmp_path / f"mh{pid}.json"
+        out = tmp_path / f"mh{tag}{pid}.json"
         outs.append(out)
         procs.append(
             subprocess.Popen(
@@ -106,7 +109,7 @@ def test_two_process_serving_matches_single(tmp_path):
                     "--process-id", str(pid),
                     "--num-processes", "2",
                     "--coordinator", f"localhost:{port}",
-                    "--total-recordings", "8",
+                    "--total-recordings", str(total),
                 ],
                 env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True,
@@ -124,9 +127,27 @@ def test_two_process_serving_matches_single(tmp_path):
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(errs)[-4000:]
 
     single = json.loads(single_out.read_text())
-    assert len(single) == 8
+    assert len(single) == total
+    return single, [json.loads(out.read_text()) for out in outs]
+
+
+@pytest.mark.slow
+def test_two_process_serving_matches_single(tmp_path):
+    model = _save_model(tmp_path / "model")
+    single, multis = _run_single_and_two_proc(tmp_path, model, 8)
     # some recording must actually produce a track or the test is vacuous
     assert any(rec["species_identify"] for rec in single)
-    for out in outs:
-        got = json.loads(out.read_text())
+    for got in multis:
+        _approx_equal(got, single)
+
+
+@pytest.mark.slow
+def test_two_process_serving_with_bandpass_matches_single(tmp_path):
+    """filter_below configs route multi-host serving through the per-process
+    band-pass path (reference src/identify_tracks.py:152-161) instead of
+    raising; results still match the single-process run."""
+    model = _save_model(tmp_path / "fmodel", extra_meta={"filter_below": 20000})
+    single, multis = _run_single_and_two_proc(tmp_path, model, 8, tag="f")
+    assert any(rec["species_identify"] for rec in single)
+    for got in multis:
         _approx_equal(got, single)

@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""Profile the flagship fused gather->frontend->EfficientNetB0->means program.
+
+Attributes wall-time across the program's stages by timing each stage as its
+own jitted program on the same shapes (the axon tunnel supports no on-device
+trace viewer; dependent-scalar transfer forces execution, see bench._force),
+then walks the EfficientNet stage prefixes (XLA DCE turns an intermediate
+output into a true prefix program) to localise the conv cost.
+
+  python tools/profile_flagship.py [--windows 256] [--stages] [--trace DIR]
+
+Writes PROFILE_FLAGSHIP.json at the repo root and prints the table.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _force(x):
+    import jax.numpy as jnp
+
+    if isinstance(x, (list, tuple)):
+        return sum(_force(v) for v in x)
+    return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
+
+
+def _time(fn, args, reps=8, warm=2):
+    for _ in range(warm):
+        out = fn(*args)
+    _force(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    _force(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--windows", type=int, default=256)
+    ap.add_argument("--stages", action="store_true",
+                    help="also time EfficientNet block prefixes (many compiles)")
+    ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--out", default=str(REPO / "PROFILE_FLAGSHIP.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(REPO))
+    from bench import build_efficientnet_fixture, V5E_PEAK_FLOPS
+    from audio_analysis_tpu.io.modelconfig import ModelConfig
+    from audio_analysis_tpu.models.registry import load_classifier
+    from audio_analysis_tpu.pipeline.classify import (
+        _fused_group_program,
+        _track_means,
+    )
+    from audio_analysis_tpu.pipeline.frontend import spectrogram_grid
+
+    tmp = Path("/tmp/aat_bench_models")
+    tmp.mkdir(exist_ok=True)
+    effnet_dir = build_efficientnet_fixture(tmp)
+    cfg = ModelConfig.load(Path(effnet_dir))
+    sr = 48000
+    n = args.windows
+    sample = int(cfg.segment_length * sr)
+
+    model = load_classifier(Path(effnet_dir), cfg)
+    import os
+
+    os.environ["AAT_KERAS_BF16"] = "1"  # cache key includes the env var
+    model_bf16 = load_classifier(Path(effnet_dir), cfg)
+    os.environ.pop("AAT_KERAS_BF16", None)
+
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randn(60 * sr).astype(np.float32) * 0.1)
+    base = np.sort(rng.randint(0, 60 * sr - sample, n)).astype(np.int64)
+    vlo = jnp.zeros(n, jnp.int32)
+    vhi = jnp.full(n, sample, jnp.int32)
+    tidx = jnp.asarray(np.arange(n, dtype=np.int32) // 8)
+    fused_args = (frames, jnp.asarray(base), vlo, vhi, tidx)
+
+    report = {"n_windows": n}
+    results = {}
+
+    # -- full fused program, f32 and bf16 ----------------------------------
+    prog = _fused_group_program([model], cfg, sr, sample, 32)
+    results["fused_f32"] = _time(prog, fused_args)
+    prog16 = _fused_group_program([model_bf16], cfg, sr, sample, 32)
+    results["fused_bf16"] = _time(prog16, fused_args)
+
+    # -- stage 1: window materialisation (scan of dynamic slices) ----------
+    @jax.jit
+    def slice_only(frames, base, lo, hi):
+        padded = jnp.pad(frames, (sample, sample))
+        j = jnp.arange(sample, dtype=jnp.int32)
+
+        def one(_, bvh):
+            b, l, h = bvh
+            w = jax.lax.dynamic_slice(padded, (b + sample,), (sample,))
+            return None, jnp.where((j >= l) & (j < h), w, 0.0)
+
+        _, grid = jax.lax.scan(one, None, (base.astype(jnp.int32), lo, hi))
+        return grid
+
+    results["slice_scan"] = _time(slice_only, (frames, jnp.asarray(base), vlo, vhi))
+    grid = slice_only(frames, jnp.asarray(base), vlo, vhi)
+
+    # -- stage 2: frontend (XLA FFT vs Pallas) ------------------------------
+    fe_kw = dict(
+        sr=sr, hop_length=int(cfg.hop_length), n_fft=int(cfg.n_fft),
+        n_mels=int(cfg.n_mels), mel_break=float(cfg.break_freq), htk=True,
+        fmin=cfg.fmin, fmax=cfg.fmax, power=float(cfg.power),
+        db_scale=bool(cfg.db_scale), normalize=bool(cfg.normalize),
+    )
+    results["frontend_xla"] = _time(
+        lambda g: spectrogram_grid(g, use_pallas=False, **fe_kw), (grid,)
+    )
+    try:
+        results["frontend_pallas"] = _time(
+            lambda g: spectrogram_grid(g, use_pallas=True, **fe_kw), (grid,)
+        )
+    except Exception as e:
+        results["frontend_pallas"] = f"error: {type(e).__name__}"
+
+    feats = spectrogram_grid(grid, use_pallas=False, **fe_kw)
+    feats3 = jnp.repeat(feats, 3, axis=-1)
+
+    # -- stage 3: EfficientNet forward (f32, bf16) --------------------------
+    fwd = jax.jit(lambda x: model(x))
+    results["effnet_f32"] = _time(fwd, (feats3,))
+    fwd16 = jax.jit(lambda x: model_bf16(x))
+    results["effnet_bf16"] = _time(fwd16, (feats3,))
+    probs = fwd(feats3)
+
+    # -- stage 4: track means ----------------------------------------------
+    means = jax.jit(lambda p, t: _track_means(p, t, 32))
+    results["track_means"] = _time(means, (probs, tidx))
+
+    report["seconds"] = {k: (round(v, 5) if isinstance(v, float) else v)
+                        for k, v in results.items()}
+    fused = results["fused_f32"]
+    report["windows_per_s_f32"] = round(n / fused, 1)
+    report["windows_per_s_bf16"] = round(n / results["fused_bf16"], 1)
+    parts = ["slice_scan", "frontend_xla", "effnet_f32", "track_means"]
+    report["stage_fraction_of_fused"] = {
+        k: round(results[k] / fused, 3) for k in parts if isinstance(results[k], float)
+    }
+
+    # -- EfficientNet block prefixes ----------------------------------------
+    if args.stages:
+        from audio_analysis_tpu.models.keras_graph import KerasModel
+
+        km = KerasModel.load(Path(effnet_dir))
+        if True:
+            names = [l.get("name") for l in km._layers]
+            # last layer of each group (stem, blockN, top) in config order
+            group_last = {}
+            order = []
+            for nm in names:
+                if not nm:
+                    continue
+                pref = nm.split("_")[0]
+                if pref.startswith("block"):
+                    pref = pref[:6]  # block1a -> block1
+                if pref not in group_last:
+                    order.append(pref)
+                group_last[pref] = nm
+            bounds = [(p, group_last[p]) for p in order]
+            prefix_times = {}
+            spec_orig = km._output_spec
+            prev = 0.0
+            try:
+                for pref, nm in bounds:
+                    km._output_spec = [[nm, 0, 0]]
+                    try:
+                        t = _time(jax.jit(lambda x: km(x)), (feats3,), reps=4, warm=1)
+                    except Exception as e:
+                        prefix_times[nm] = f"error: {type(e).__name__}"
+                        continue
+                    prefix_times[nm] = {
+                        "cumulative_s": round(t, 5),
+                        "delta_s": round(t - prev, 5),
+                    }
+                    prev = t
+            finally:
+                km._output_spec = spec_orig
+            report["effnet_prefixes"] = prefix_times
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(4):
+                out = prog(*fused_args)
+            _force(out)
+        report["trace_dir"] = args.trace
+
+    Path(args.out).write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
