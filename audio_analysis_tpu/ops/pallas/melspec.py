@@ -37,29 +37,45 @@ CB = 128  # DFT bins per chunk
 
 
 @lru_cache(maxsize=8)
-def _dft_mats(n_fft: int, window: str):
-    """Hann-folded real/imag DFT matrices [bins_padded, n_fft] (float32)."""
-    bins = 1 + n_fft // 2
-    bins_p = -(-bins // CB) * CB
+def _dft_mats(n_fft: int, window: str, bins_used: int):
+    """Hann-folded real/imag DFT matrices [bins_padded, n_fft] (float32),
+    built only for the first `bins_used` rFFT bins — the mel filterbank's
+    support ends at fmax (bin fmax*n_fft/sr << n_fft/2 for the released
+    configs), and bins with zero mel weight contribute nothing, so dropping
+    them is exact and cuts the DFT matmul FLOPs ~2x (2176 -> 1024 padded
+    bins at fmax=11 kHz / 48 kHz / 4096)."""
+    bins_p = -(-bins_used // CB) * CB
     n = np.arange(n_fft)
-    k = np.arange(bins)
+    k = np.arange(bins_used)
     ang = 2.0 * np.pi * np.outer(k, n) / n_fft
     w = get_window_np(window, n_fft, periodic=True).astype(np.float64)
     wr = np.zeros((bins_p, n_fft), np.float32)
     wi = np.zeros((bins_p, n_fft), np.float32)
-    wr[:bins] = (np.cos(ang) * w).astype(np.float32)
-    wi[:bins] = (-np.sin(ang) * w).astype(np.float32)
+    wr[:bins_used] = (np.cos(ang) * w).astype(np.float32)
+    wi[:bins_used] = (-np.sin(ang) * w).astype(np.float32)
     return wr, wi, bins_p
 
 
 @lru_cache(maxsize=16)
-def _mel_mat(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bins_p):
+def _fb_np(sr, n_mels, fmin, fmax, n_fft, break_freq, htk):
     if htk:
-        fb = _mel_filterbank_np(float(sr), int(n_mels), float(fmin), float(fmax), int(n_fft), float(break_freq))
-    else:
-        fb = _mel_filterbank_slaney_np(float(sr), int(n_mels), float(fmin), float(fmax), int(n_fft))
+        return _mel_filterbank_np(float(sr), int(n_mels), float(fmin), float(fmax), int(n_fft), float(break_freq))
+    return _mel_filterbank_slaney_np(float(sr), int(n_mels), float(fmin), float(fmax), int(n_fft))
+
+
+def mel_support_bins(sr, n_mels, fmin, fmax, n_fft, break_freq, htk) -> int:
+    """Number of leading rFFT bins carrying any mel weight (rest are zero)."""
+    fb = _fb_np(sr, n_mels, fmin, fmax, n_fft, break_freq, htk)
+    nz = np.nonzero(fb.any(axis=0))[0]
+    return int(nz[-1]) + 1 if len(nz) else fb.shape[1]
+
+
+@lru_cache(maxsize=16)
+def _mel_mat(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bins_p):
+    fb = _fb_np(sr, n_mels, fmin, fmax, n_fft, break_freq, htk)
     out = np.zeros((bins_p, fb.shape[0]), np.float32)
-    out[: fb.shape[1]] = fb.T  # [bins_p, n_mels]
+    cols = min(bins_p, fb.shape[1])
+    out[:cols] = fb.T[:cols]  # [bins_p, n_mels]
     return out
 
 
@@ -90,9 +106,14 @@ def _device_weights(sr, n_fft, n_mels, fmin, fmax, break_freq, htk, window):
     key = (sr, n_fft, n_mels, fmin, fmax, break_freq, htk, window)
     got = _DEVICE_WEIGHTS.get(key)
     if got is None:
-        wr, wi, bins_p = _dft_mats(n_fft, window)
+        bins_used = mel_support_bins(sr, n_mels, fmin, fmax, n_fft, break_freq, htk)
+        wr, wi, bins_p = _dft_mats(n_fft, window, bins_used)
         melm = _mel_mat(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bins_p)
-        got = (jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(melm), bins_p)
+        # the first call may happen INSIDE an outer trace (the fused classify
+        # program with AAT_FAST): force concrete device arrays so the cache
+        # never holds that trace's tracers (which would poison later calls)
+        with jax.ensure_compile_time_eval():
+            got = (jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(melm), bins_p)
         _DEVICE_WEIGHTS[key] = got
     return got
 

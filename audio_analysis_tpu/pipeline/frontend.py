@@ -95,8 +95,17 @@ def spectrogram_grid(
                 power=power, htk=True,
             )
         else:
+            from audio_analysis_tpu.ops.pallas.melspec import mel_support_bins
+
             mag = stft_magnitude(windows, n_fft, hop_length)  # [N, bins, T]
             fb = mel_filterbank(sr, n_mels, f_lo, f_hi, n_fft, mel_break)
+            # bins past the filterbank's support (fmax) carry zero mel
+            # weight: slicing them off is exact and shrinks both the mel
+            # matmul and the materialised magnitude array (~2x at 11 kHz
+            # fmax on a 24 kHz Nyquist spectrum)
+            bu = mel_support_bins(sr, n_mels, f_lo, f_hi, n_fft, mel_break, True)
+            mag = mag[..., :bu, :]
+            fb = fb[:, :bu]
             p = mag if power == 1 else (mag * mag if power == 2 else mag**power)
             mel = jnp.einsum("mf,nft->nmt", fb, p, preferred_element_type=jnp.float32)
     else:
@@ -109,8 +118,13 @@ def spectrogram_grid(
                 n_mels=n_mels, fmin=50.0, fmax=11000.0, power=2.0, htk=False,
             )
         else:
+            from audio_analysis_tpu.ops.pallas.melspec import mel_support_bins
+
             mag = stft_magnitude(windows, n_fft, hop_length)
             fb = mel_filterbank_slaney(sr, n_mels, 50.0, 11000.0, n_fft)
+            bu = mel_support_bins(sr, n_mels, 50.0, 11000.0, n_fft, 700.0, False)
+            mag = mag[..., :bu, :]
+            fb = fb[:, :bu]
             mel = jnp.einsum(
                 "mf,nft->nmt", fb, mag * mag, preferred_element_type=jnp.float32
             )
