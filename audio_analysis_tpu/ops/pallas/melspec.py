@@ -4,16 +4,22 @@ The XLA path materialises the full |STFT| array ([n_frames, 2049] floats) in
 HBM between the FFT and the mel matmul. This kernel reformulates the rFFT as
 two real matmuls against hann-folded DFT matrices and fuses power + the mel
 projection, so each frame block goes HBM->VMEM once and only [BF, n_mels]
-leaves — the classic MXU trade (more FLOPs, ~60x, for far less HBM traffic;
-the MXU has the FLOPs to spare at these sizes).
+leaves — the classic MXU trade (more FLOPs for far less HBM traffic).
 
-Numerics: the MXU multiplies f32 operands as bf16 (default precision), so
-the mel output sits ~1% relative from the rFFT path (~0.15 dB max on
-dB-scaled features, measured on chip r2). That is why this kernel is an
-opt-in throughput knob (AAT_PALLAS=1, 1.46x faster frontend) rather than
-the default: the XLA rFFT path keeps strict float parity with the
-reference. interpret-mode tests pin the math; the chip A/B runs in
-bench.py.
+Round-3 tuning (all measured on the chip, 256x3s windows @ 160 mels):
+- DFT rows past the mel filterbank's support (fmax) are dropped — exact,
+  2176 -> 1024 padded bins, and ~2x fewer matmul FLOPs;
+- the DFT matrices and framed PCM are STORED bf16 (the MXU consumed bf16
+  operands anyway; f32 storage just doubled the dominant HBM stream);
+- BF=512 so each (frame-block, bin-chunk) matrix re-fetch is amortised.
+Net: 41.7 ms -> 17.0 ms per 256 windows (XLA FFT path: 52 ms).
+
+Numerics: bf16 MXU operands, f32 accumulation — ~1-2% relative on mel
+magnitudes (~0.15 dB max on dB-scaled features). That is why this kernel is
+a throughput knob (AAT_PALLAS=1 / AAT_FAST=1) rather than the default: the
+XLA rFFT path keeps strict float parity with the reference. Interpret-mode
+tests pin the math at the same bf16 contract; e2e result JSON measured
+byte-identical on every fixture (dB + thresholds absorb the error).
 
 Layout: grid (frame_blocks, bin_chunks); the output block is revisited
 consecutively across the bin-chunk dim and accumulated in place (standard
@@ -32,7 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 from audio_analysis_tpu.ops.windows import get_window_np
 from audio_analysis_tpu.ops.mel import _mel_filterbank_np, _mel_filterbank_slaney_np
 
-BF = 128  # frames per block
+# Block sizes. The kernel is HBM-traffic-bound, not FLOP-bound (measured:
+# explicit bf16 casts changed nothing — the MXU work was already bf16).
+# Dominant traffic is the DFT matrices, re-fetched once per (frame-block,
+# bin-chunk) pair: traffic ~ (NF/BF) * bins_p * n_fft * bytes. Hence the
+# matrices and the framed PCM are STORED in bf16 (half the bytes; identical
+# numerics — the MXU read them as bf16 anyway) and BF is as large as VMEM
+# allows (fr 2 MB + wr/wi 2 MB + out blocks, double-buffered).
+BF = 512  # frames per block
 CB = 128  # DFT bins per chunk
 
 
@@ -53,7 +66,9 @@ def _dft_mats(n_fft: int, window: str, bins_used: int):
     wi = np.zeros((bins_p, n_fft), np.float32)
     wr[:bins_used] = (np.cos(ang) * w).astype(np.float32)
     wi[:bins_used] = (-np.sin(ang) * w).astype(np.float32)
-    return wr, wi, bins_p
+    # bf16 storage: the MXU consumes bf16 operands either way; storing f32
+    # just doubled the kernel's dominant HBM stream
+    return wr.astype(jnp.bfloat16), wi.astype(jnp.bfloat16), bins_p
 
 
 @lru_cache(maxsize=16)
@@ -84,16 +99,27 @@ def _kernel(fr_ref, wr_ref, wi_ref, mel_ref, out_ref, *, power):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x = fr_ref[:]  # [BF, n_fft]
+    # bf16 operands in, f32 accumulation out — the kernel's documented
+    # numerics contract (~1% relative). Inputs arrive already stored bf16.
+    x = fr_ref[:]  # [BF, n_fft] bf16
     contract = (((1,), (1,)), ((), ()))
-    r = jax.lax.dot_general(x, wr_ref[:], contract, preferred_element_type=jnp.float32)
-    im = jax.lax.dot_general(x, wi_ref[:], contract, preferred_element_type=jnp.float32)
+    r = jax.lax.dot_general(
+        x, wr_ref[:], contract, preferred_element_type=jnp.float32
+    )
+    im = jax.lax.dot_general(
+        x, wi_ref[:], contract, preferred_element_type=jnp.float32
+    )
     p = r * r + im * im  # |rfft|^2
     if power == 1.0:
         p = jnp.sqrt(p)
     elif power != 2.0:
         p = jnp.power(p, power / 2.0)
-    out_ref[:] += jnp.dot(p, mel_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] += jax.lax.dot_general(
+        p.astype(jnp.bfloat16),
+        mel_ref[:].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 # device-resident weight cache: keyed by the static config; keeps the big
@@ -125,7 +151,12 @@ def _melspec_core(windows, wr, wi, melm, *, hop_length, n_fft, power, interpret=
     n, s = windows.shape
     f = 1 + s // hop_length
     padded = jnp.pad(windows, ((0, 0), (n_fft // 2, n_fft // 2)))
-    frames = frame(padded, n_fft, hop_length).reshape(-1, n_fft)  # [N*F, n_fft]
+    # bf16 framed PCM: the MXU rounds the operand to bf16 regardless; bf16
+    # storage halves the [N*F, n_fft] stream (the array is ~6x redundant
+    # already because n_fft >> hop)
+    frames = (
+        frame(padded, n_fft, hop_length).reshape(-1, n_fft).astype(jnp.bfloat16)
+    )
     nf = frames.shape[0]
     nf_p = -(-nf // BF) * BF
     frames = jnp.pad(frames, ((0, nf_p - nf), (0, 0)))
@@ -147,7 +178,7 @@ def _melspec_core(windows, wr, wi, melm, *, hop_length, n_fft, power, interpret=
         out_shape=jax.ShapeDtypeStruct((nf_p, n_mels), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * nf_p * bins_p * n_fft * 2 + 2 * nf_p * bins_p * n_mels,
-            bytes_accessed=(nf_p // BF) * bins_p * n_fft * 8 + nf_p * n_fft * 4,
+            bytes_accessed=(nf_p // BF) * bins_p * n_fft * 4 + nf_p * n_fft * 2,
             transcendentals=0,
         ),
         interpret=interpret,

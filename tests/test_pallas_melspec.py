@@ -30,8 +30,11 @@ def test_pallas_matches_fft_path(rng, power):
         )
     )
     assert got.shape == ref.shape
+    # the kernel's contract is explicit-bf16 MXU matmuls (f32 accumulate):
+    # interpret mode now performs the same casts, so the bound is the
+    # documented bf16 budget (~2% relative / ~0.3% of scale; measured)
     scale = np.abs(ref).max()
-    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4 * scale)
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=5e-3 * scale)
 
 
 def test_pallas_slaney_scale(rng):
@@ -50,4 +53,4 @@ def test_pallas_slaney_scale(rng):
         )
     )
     scale = np.abs(ref).max()
-    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4 * scale)
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=5e-3 * scale)
