@@ -17,6 +17,20 @@ from audio_analysis_tpu.ops.dct import dct2
 from audio_analysis_tpu.models.layers import resize_with_pad
 
 
+_WARNED_NO_PALLAS = False
+
+
+def _pallas_backend() -> bool:
+    """The DFT->mel kernel is a TPU (Mosaic) kernel; compiled mode does not
+    exist on the CPU/GPU backends."""
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    except Exception:
+        return False
+
+
 def _use_pallas_default() -> bool:
     """Pallas DFT->mel kernel opt-in (AAT_PALLAS=1, or the AAT_FAST=1
     throughput preset). The XLA FFT path stays the default for PARITY: the
@@ -24,13 +38,27 @@ def _use_pallas_default() -> bool:
     [N, 2049, T] magnitude array in HBM, but its DFT matmuls run as bf16 MXU
     passes — ~1% relative on magnitudes, up to ~0.15 dB on dB-scaled
     features (measured on chip; the full e2e batch JSON was byte-identical).
-    An explicit AAT_PALLAS=0 wins over AAT_FAST."""
+    An explicit AAT_PALLAS=0 wins over AAT_FAST; on a non-TPU backend the
+    knob degrades to the XLA path with a one-time warning instead of a
+    Mosaic compile error."""
     from audio_analysis_tpu.utils.runtime import env_flag, fast_mode
 
     v = env_flag("AAT_PALLAS")
-    if v is not None:
-        return v
-    return fast_mode()
+    if v is None:
+        v = fast_mode()
+    if v and not _pallas_backend():
+        global _WARNED_NO_PALLAS
+        if not _WARNED_NO_PALLAS:
+            _WARNED_NO_PALLAS = True
+            import logging
+
+            logging.warning(
+                "AAT_PALLAS/AAT_FAST requested but the %s backend cannot run "
+                "the Mosaic kernel; using the XLA FFT frontend",
+                __import__("jax").default_backend(),
+            )
+        return False
+    return bool(v)
 
 
 @partial(

@@ -19,6 +19,10 @@ def test_env_flag_tristate(monkeypatch):
 
 
 def test_fast_mode_controls_pallas_default(monkeypatch):
+    import audio_analysis_tpu.pipeline.frontend as fe
+
+    # pretend a TPU backend: the Mosaic kernel only exists there
+    monkeypatch.setattr(fe, "_pallas_backend", lambda: True)
     monkeypatch.delenv("AAT_PALLAS", raising=False)
     monkeypatch.delenv("AAT_FAST", raising=False)
     assert _use_pallas_default() is False
@@ -29,6 +33,28 @@ def test_fast_mode_controls_pallas_default(monkeypatch):
     monkeypatch.delenv("AAT_FAST", raising=False)
     monkeypatch.setenv("AAT_PALLAS", "1")
     assert _use_pallas_default() is True
+
+
+def test_pallas_knob_degrades_on_cpu_backend(monkeypatch):
+    """On the CPU test backend the preset must fall back to the XLA path
+    (with a warning) instead of dying in the Mosaic lowering."""
+    import audio_analysis_tpu.pipeline.frontend as fe
+
+    monkeypatch.setenv("AAT_FAST", "1")
+    monkeypatch.delenv("AAT_PALLAS", raising=False)
+    monkeypatch.setattr(fe, "_WARNED_NO_PALLAS", False)
+    assert _use_pallas_default() is False  # conftest forces the cpu backend
+
+    import numpy as np
+
+    g = jnp.asarray(np.random.RandomState(0).randn(2, 48000).astype(np.float32))
+    from audio_analysis_tpu.pipeline.frontend import spectrogram_grid
+
+    y = spectrogram_grid(
+        g, sr=48000, hop_length=640, n_fft=4096, n_mels=64,
+        mel_break=1750.0, htk=True, power=2.0, db_scale=True, normalize=True,
+    )
+    assert y.shape[0] == 2
 
 
 def test_fast_mode_controls_keras_bf16(tmp_path, monkeypatch):
