@@ -21,6 +21,23 @@ from audio_analysis_tpu.io.modelconfig import ModelConfig
 _MODEL_CACHE = {}
 
 
+def _resolved_compute_dtype(cfg: ModelConfig):
+    """The compute dtype a load would actually use: metadata net_dtype wins;
+    otherwise AAT_KERAS_BF16 (explicit) or the AAT_FAST preset picks bf16.
+    Cache-keying on the RESOLVED value (not the raw env) means a pinned
+    net_dtype model — or A/B flips that resolve to the same dtype — shares
+    one device-resident instance."""
+    from audio_analysis_tpu.utils.runtime import env_flag, fast_mode
+
+    cdt = (cfg.raw or {}).get("net_dtype")
+    if cdt is not None:
+        return str(cdt)
+    bf16 = env_flag("AAT_KERAS_BF16")
+    if bf16 is None:
+        bf16 = fast_mode()
+    return "bfloat16" if bf16 else None
+
+
 class _JittedModel:
     def __init__(self, apply_fn, params):
         self.apply_fn = apply_fn  # pure (params, x) -> probs; inlines in jit
@@ -40,16 +57,10 @@ def load_classifier(model_path, cfg: ModelConfig):
         stamp = max(p.stat().st_mtime for p in model_path.rglob("*")) if model_path.is_dir() else model_path.stat().st_mtime
     except (OSError, ValueError):
         stamp = 0
-    import os
-
-    from audio_analysis_tpu.utils.runtime import env_flag, fast_mode
-
     key = (
         str(model_path.resolve()),
         stamp,
-        (cfg.raw or {}).get("net_dtype"),
-        env_flag("AAT_KERAS_BF16"),
-        fast_mode(),
+        _resolved_compute_dtype(cfg),
     )
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]
@@ -99,14 +110,5 @@ def _load_classifier_uncached(model_path, cfg: ModelConfig):
     # AAT_FAST preset — an explicit AAT_KERAS_BF16=0 overrides it) flips the
     # default to bfloat16 (throughput knob — float32 keeps strict parity
     # with the reference's TF runtime; bound in test_keras_import.py)
-    from audio_analysis_tpu.utils.runtime import env_flag, fast_mode
-
-    cdt = (cfg.raw or {}).get("net_dtype")
-    if cdt is None:
-        bf16 = env_flag("AAT_KERAS_BF16")
-        if bf16 is None:
-            bf16 = fast_mode()
-        if bf16:
-            cdt = "bfloat16"
-    km = KerasModel.load(model_path, compute_dtype=cdt)
+    km = KerasModel.load(model_path, compute_dtype=_resolved_compute_dtype(cfg))
     return _JittedModel(km.apply, km.params)

@@ -21,12 +21,14 @@ _WARNED_NO_PALLAS = False
 
 
 def _pallas_backend() -> bool:
-    """The DFT->mel kernel is a TPU (Mosaic) kernel; compiled mode does not
-    exist on the CPU/GPU backends."""
+    """The DFT->mel kernel is a TPU (Mosaic) kernel; compiled mode exists
+    only there — allowlist, so an unknown backend degrades instead of dying
+    in the Mosaic lowering. (The axon tunnel plugin reports "tpu" as its
+    default backend name; verified on the chip.)"""
     try:
         import jax
 
-        return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 
@@ -61,6 +63,22 @@ def _use_pallas_default() -> bool:
     return bool(v)
 
 
+def spectrogram_grid(windows, *, use_pallas=None, **kw):
+    """[N, sample_size] PCM windows -> [N, n_mels, frames, channels] features.
+
+    Faithful to get_spect, including the fmax-keyed-on-fmin quirk
+    (src/identify_tracks.py:260-261) and per-window power_to_db(ref=max).
+
+    `use_pallas` must be resolved BEFORE the jit boundary: with the env
+    default left inside the traced function, the jit cache keyed on the
+    static value None and the knob was consulted exactly once per shape —
+    a warm process flipping AAT_PALLAS/AAT_FAST would silently keep the
+    first trace's kernel choice on the non-fused paths."""
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    return _spectrogram_grid_impl(windows, use_pallas=bool(use_pallas), **kw)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -81,7 +99,7 @@ def _use_pallas_default() -> bool:
         "use_pallas",
     ),
 )
-def spectrogram_grid(
+def _spectrogram_grid_impl(
     windows: jnp.ndarray,
     *,
     sr: int,
@@ -98,18 +116,10 @@ def spectrogram_grid(
     mean_sub: bool = False,
     use_mfcc: bool = False,
     channels: int = 1,
-    use_pallas: bool = None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """[N, sample_size] PCM windows -> [N, n_mels, frames, channels] features.
-
-    Faithful to get_spect, including the fmax-keyed-on-fmin quirk
-    (src/identify_tracks.py:260-261) and per-window power_to_db(ref=max).
-    """
     if normalize:
         windows = normalize_minmax(windows)
-
-    if use_pallas is None:
-        use_pallas = _use_pallas_default()
 
     if htk:
         f_lo = 50.0 if fmin is None else fmin

@@ -191,6 +191,12 @@ def _env(**kv):
                 os.environ[k] = v
 
 
+# the parity legs must not inherit an ambient AAT_FAST/AAT_PALLAS/
+# AAT_KERAS_BF16 (e.g. `AAT_FAST=1 python bench.py` would otherwise measure
+# fast mode twice and label one of them parity)
+_PARITY_ENV = dict(AAT_FAST=None, AAT_PALLAS=None, AAT_KERAS_BF16=None)
+
+
 def bench_mfu(effnet_dir, sr=48000):
     """Windows/s + MFU of the fused gather->frontend->EfficientNetB0->means
     program on a dense 256-window grid, INTERLEAVED A/B between the
@@ -206,7 +212,8 @@ def bench_mfu(effnet_dir, sr=48000):
     from audio_analysis_tpu.pipeline.classify import _fused_group_program
 
     cfg = ModelConfig.load(Path(effnet_dir))
-    model = load_classifier(Path(effnet_dir), cfg)
+    with _env(**_PARITY_ENV):
+        model = load_classifier(Path(effnet_dir), cfg)
     with _env(AAT_FAST="1"):
         model_fast = load_classifier(Path(effnet_dir), cfg)
     n_windows = 256
@@ -220,7 +227,8 @@ def bench_mfu(effnet_dir, sr=48000):
     vhi = np.full(n_windows, sample_size, np.int32)
     tidx = np.arange(n_windows, dtype=np.int32) // 8
     n_tracks_b = 32
-    prog = _fused_group_program([model], cfg, sr, sample_size, n_tracks_b)
+    with _env(**_PARITY_ENV):
+        prog = _fused_group_program([model], cfg, sr, sample_size, n_tracks_b)
     with _env(AAT_FAST="1"):
         prog_fast = _fused_group_program(
             [model_fast], cfg, sr, sample_size, n_tracks_b
@@ -377,11 +385,12 @@ def main():
     # wire codec) is measured in the SAME loop, interleaved window-by-window
     # so the tunnel's bandwidth swings hit both modes equally.
     flagship = [effnet_dir, models[1]] if effnet_dir is not None else models
-    analyzer = BatchAnalyzer(
-        flagship, sr=sr, bucket_seconds=60, rng=np.random.RandomState(0)
-    )
-    analyzer.analyse_recordings(recordings)  # warm / compile
-    analyzer.analyse_recordings(recordings)
+    with _env(**_PARITY_ENV):
+        analyzer = BatchAnalyzer(
+            flagship, sr=sr, bucket_seconds=60, rng=np.random.RandomState(0)
+        )
+        analyzer.analyse_recordings(recordings)  # warm / compile
+        analyzer.analyse_recordings(recordings)
     with _env(AAT_FAST="1"):
         analyzer_fast = BatchAnalyzer(
             flagship, sr=sr, bucket_seconds=60, rng=np.random.RandomState(0)
@@ -393,10 +402,11 @@ def main():
     best = {"parity": 0.0, "fast": 0.0}
     results = None
     for _ in range(3):  # interleaved windows; best-of per mode (tunnel noise)
-        t0 = time.perf_counter()
-        for results in analyzer.analyse_stream([recordings] * runs):
-            pass
-        best["parity"] = max(best["parity"], seconds * runs / (time.perf_counter() - t0))
+        with _env(**_PARITY_ENV):
+            t0 = time.perf_counter()
+            for results in analyzer.analyse_stream([recordings] * runs):
+                pass
+            best["parity"] = max(best["parity"], seconds * runs / (time.perf_counter() - t0))
         with _env(AAT_FAST="1"):
             t0 = time.perf_counter()
             for _res in analyzer_fast.analyse_stream([recordings] * runs):
@@ -411,23 +421,25 @@ def main():
         baseline = json.loads(bl_file.read_text()).get("audio_seconds_per_sec")
     vs = value / baseline if baseline else value / 100.0  # fallback: north star
 
-    # secondary: the TuiNet pair (round-1 headline scenario)
-    tuinet_analyzer = BatchAnalyzer(
-        models, sr=sr, bucket_seconds=60, rng=np.random.RandomState(0)
-    )
-    tuinet_analyzer.analyse_recordings(recordings)  # warm
-    tuinet_tp = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _res in tuinet_analyzer.analyse_stream([recordings] * runs):
-            pass
-        tuinet_tp = max(tuinet_tp, seconds * runs / (time.perf_counter() - t0))
+    # secondary: the TuiNet pair (round-1 headline scenario), parity mode
+    with _env(**_PARITY_ENV):
+        tuinet_analyzer = BatchAnalyzer(
+            models, sr=sr, bucket_seconds=60, rng=np.random.RandomState(0)
+        )
+        tuinet_analyzer.analyse_recordings(recordings)  # warm
+        tuinet_tp = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _res in tuinet_analyzer.analyse_stream([recordings] * runs):
+                pass
+            tuinet_tp = max(tuinet_tp, seconds * runs / (time.perf_counter() - t0))
 
     effnet = None
     if effnet_dir is not None:
         effnet = bench_mfu(effnet_dir, sr=sr)
 
-    latency = bench_latency(models, sr=sr)
+    with _env(**_PARITY_ENV):
+        latency = bench_latency(models, sr=sr)
     pallas = bench_pallas_melspec(sr=sr)
     breakdown = bench_breakdown(recordings, sr=sr)
 

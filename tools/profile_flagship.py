@@ -56,7 +56,7 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, str(REPO))
-    from bench import build_efficientnet_fixture, V5E_PEAK_FLOPS
+    from bench import build_efficientnet_fixture, _env
     from audio_analysis_tpu.io.modelconfig import ModelConfig
     from audio_analysis_tpu.models.registry import load_classifier
     from audio_analysis_tpu.pipeline.classify import (
@@ -74,11 +74,8 @@ def main():
     sample = int(cfg.segment_length * sr)
 
     model = load_classifier(Path(effnet_dir), cfg)
-    import os
-
-    os.environ["AAT_KERAS_BF16"] = "1"  # cache key includes the env var
-    model_bf16 = load_classifier(Path(effnet_dir), cfg)
-    os.environ.pop("AAT_KERAS_BF16", None)
+    with _env(AAT_KERAS_BF16="1"):  # cache keys on the resolved dtype
+        model_bf16 = load_classifier(Path(effnet_dir), cfg)
 
     rng = np.random.RandomState(0)
     frames = jnp.asarray(rng.randn(60 * sr).astype(np.float32) * 0.1)
@@ -160,40 +157,39 @@ def main():
         from audio_analysis_tpu.models.keras_graph import KerasModel
 
         km = KerasModel.load(Path(effnet_dir))
-        if True:
-            names = [l.get("name") for l in km._layers]
-            # last layer of each group (stem, blockN, top) in config order
-            group_last = {}
-            order = []
-            for nm in names:
-                if not nm:
+        names = [l.get("name") for l in km._layers]
+        # last layer of each group (stem, blockN, top) in config order
+        group_last = {}
+        order = []
+        for nm in names:
+            if not nm:
+                continue
+            pref = nm.split("_")[0]
+            if pref.startswith("block"):
+                pref = pref[:6]  # block1a -> block1
+            if pref not in group_last:
+                order.append(pref)
+            group_last[pref] = nm
+        bounds = [(p, group_last[p]) for p in order]
+        prefix_times = {}
+        spec_orig = km._output_spec
+        prev = 0.0
+        try:
+            for pref, nm in bounds:
+                km._output_spec = [[nm, 0, 0]]
+                try:
+                    t = _time(jax.jit(lambda x: km(x)), (feats3,), reps=4, warm=1)
+                except Exception as e:
+                    prefix_times[nm] = f"error: {type(e).__name__}"
                     continue
-                pref = nm.split("_")[0]
-                if pref.startswith("block"):
-                    pref = pref[:6]  # block1a -> block1
-                if pref not in group_last:
-                    order.append(pref)
-                group_last[pref] = nm
-            bounds = [(p, group_last[p]) for p in order]
-            prefix_times = {}
-            spec_orig = km._output_spec
-            prev = 0.0
-            try:
-                for pref, nm in bounds:
-                    km._output_spec = [[nm, 0, 0]]
-                    try:
-                        t = _time(jax.jit(lambda x: km(x)), (feats3,), reps=4, warm=1)
-                    except Exception as e:
-                        prefix_times[nm] = f"error: {type(e).__name__}"
-                        continue
-                    prefix_times[nm] = {
-                        "cumulative_s": round(t, 5),
-                        "delta_s": round(t - prev, 5),
-                    }
-                    prev = t
-            finally:
-                km._output_spec = spec_orig
-            report["effnet_prefixes"] = prefix_times
+                prefix_times[nm] = {
+                    "cumulative_s": round(t, 5),
+                    "delta_s": round(t - prev, 5),
+                }
+                prev = t
+        finally:
+            km._output_spec = spec_orig
+        report["effnet_prefixes"] = prefix_times
 
     if args.trace:
         with jax.profiler.trace(args.trace):

@@ -73,13 +73,17 @@ def fetch_release(models_dir: Path, version: str, report: dict) -> list:
         with tempfile.NamedTemporaryFile(suffix=".tar") as tmp:
             urllib.request.urlretrieve(url, tmp.name)
             with tarfile.open(tmp.name) as tf_:
-                # --strip-components=1, like the reference's tar invocation
+                # --strip-components=1, like the reference's tar invocation;
+                # refuse traversal components and extract with the stdlib
+                # 'data' filter (no absolute paths/links outside dest)
                 for m in tf_.getmembers():
                     parts = Path(m.name).parts
                     if len(parts) <= 1:
                         continue
+                    if ".." in parts or Path(m.name).is_absolute():
+                        continue
                     m.name = str(Path(*parts[1:]))
-                    tf_.extract(m, dest)
+                    tf_.extract(m, dest, filter="data")
         dirs.append(dest)
         report.setdefault("acquire", []).append({"url": url, "dest": str(dest)})
     return dirs
