@@ -54,3 +54,49 @@ def test_pallas_slaney_scale(rng):
     )
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=5e-3 * scale)
+
+
+def test_dif_matches_matmul_alg(rng, monkeypatch):
+    """The DIF-factored kernel and the direct-DFT kernel are two evaluations
+    of the same bf16-matmul contract; they must agree to well within the
+    oracle tolerance of either (both see identical bf16-rounded frames)."""
+    from audio_analysis_tpu.ops.pallas import melspec as m
+
+    sr, n_fft, hop, n_mels = 16000, 512, 160, 40
+    wins = rng.randn(2, 4000).astype(np.float32)
+    kw = dict(
+        sr=sr, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+        fmin=50, fmax=7000, break_freq=1750.0, interpret=True,
+    )
+    assert m._use_dif(n_fft)
+    dif = np.asarray(pallas_mel_spectrogram(jnp.asarray(wins), **kw))
+    monkeypatch.setenv("AAT_PALLAS_ALG", "matmul")
+    assert not m._use_dif(n_fft)
+    direct = np.asarray(pallas_mel_spectrogram(jnp.asarray(wins), **kw))
+    scale = np.abs(direct).max()
+    np.testing.assert_allclose(dif, direct, rtol=2e-2, atol=2e-3 * scale)
+
+
+def test_non_multiple_of_8_nfft_falls_back(rng):
+    """n_fft not divisible by 8 cannot take the DIF tree; the dispatcher
+    must quietly use the direct kernel and still match the FFT oracle."""
+    from audio_analysis_tpu.ops.pallas import melspec as m
+
+    sr, n_fft, hop, n_mels = 16000, 500, 125, 32
+    assert not m._use_dif(n_fft)
+    wins = rng.randn(1, 2000).astype(np.float32)
+    ref = np.asarray(
+        mel_spec(
+            stft_magnitude(jnp.asarray(wins), n_fft, hop),
+            sr, n_fft, n_mels, 50, 7000, 1750.0,
+        )
+    )
+    got = np.asarray(
+        pallas_mel_spectrogram(
+            jnp.asarray(wins),
+            sr=sr, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+            fmin=50, fmax=7000, break_freq=1750.0, interpret=True,
+        )
+    )
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=5e-3 * scale)
