@@ -148,7 +148,11 @@ def _kernel(fr_ref, wr_ref, wi_ref, mel_ref, out_ref, *, power):
 # framing inside the kernel, not a cheaper tree.
 # ---------------------------------------------------------------------------
 
-BF_DIF = 256  # frames per block (VMEM peak ~10 MB of f32 tree at 256)
+# The framed DIF core holds one window's frame matrix (plus the live tree
+# levels) in VMEM: ~10 MB of f32 at ~230 frames/window. Windows longer than
+# this cap (in frames) fall back to the direct kernel, which blocks frames
+# freely because it takes them pre-materialised.
+MAX_FRAMES_PER_WINDOW = 320
 
 
 @lru_cache(maxsize=8)
@@ -202,14 +206,27 @@ def _dot(a, b):
 
 
 def _kernel_dif(
-    fr_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, mel_ref, out_ref,
-    *, power, n_fft, bl, n_mels,
+    z_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, mel_ref, out_ref,
+    *, power, n_fft, hop, k, bl, n_mels,
 ):
     f32 = jnp.float32
-    # window applied HERE, not in the XLA frame prep: an XLA-side multiply
-    # breaks the gather->bf16 fusion that materialises the frames array and
-    # costs a full f32 round-trip through HBM (measured: 13 -> 22 ms)
-    x = fr_ref[:].astype(f32) * w_ref[:]
+    # Framing happens HERE, in VMEM: the input block is one window's padded
+    # PCM as [rows, hop] (1x the PCM bytes through HBM); frame f is rows
+    # f..f+k-1 flattened, so the frame matrix is k sublane-shifted slabs
+    # concatenated along lanes. The old XLA-side frame materialisation wrote
+    # + re-read a [n_frames, n_fft] array at 6.4x the PCM bytes — measured
+    # ~6.3 of the 13 ms end-to-end.
+    z = z_ref[0].astype(f32)  # [rows_p, hop]
+    fp = out_ref.shape[0]
+    # roll-to-offset-0 before slicing: Mosaic cannot concatenate vectors
+    # whose sublane offsets differ, and z[i:i+fp] carries offset i mod 8
+    slabs = [
+        (jnp.roll(z, -i, axis=0) if i else z)[:fp, :] for i in range(k)
+    ]
+    x = jnp.concatenate(slabs, axis=1)
+    # window applied here too: an XLA-side multiply would force a separate
+    # f32 round-trip through HBM (measured: 13 -> 22 ms on the frames form)
+    x = x[:, :n_fft] * w_ref[:]
     h = n_fft // 2
 
     def split_c(r, i, q, c, s):
@@ -266,21 +283,18 @@ def _kernel_dif(
 def _melspec_core_dif(
     windows, w, tw1, tw2, tw3, leaf_c, leaf_s, meld, *, hop_length, n_fft, power, interpret=False
 ):
-    from audio_analysis_tpu.ops.stft import frame
-
     n, s = windows.shape
     f = 1 + s // hop_length
-    padded = jnp.pad(windows, ((0, 0), (n_fft // 2, n_fft // 2)))
-    frames = (
-        frame(padded, n_fft, hop_length).reshape(-1, n_fft).astype(jnp.bfloat16)
-    )
-    nf = frames.shape[0]
-    import os
-
-    bf_cfg = int(os.environ.get("AAT_DIF_BF", BF_DIF))  # tuning knob (trace-time)
-    bf = min(bf_cfg, -(-nf // 8) * 8)  # sublane-aligned block
-    nf_p = -(-nf // bf) * bf
-    frames = jnp.pad(frames, ((0, nf_p - nf), (0, 0)))
+    k = -(-n_fft // hop_length)  # slabs per frame
+    fp = -(-f // 8) * 8  # frames per window, sublane-aligned
+    rows_p = fp + k  # so slab i can read rows [i, i + fp)
+    # One window per grid step: the padded PCM lands in HBM as [rows, hop]
+    # bf16 (1x the PCM bytes — the bf16 rounding of the PCM is the kernel's
+    # existing numerics contract) and the 6.4x-amplified frame matrix only
+    # ever exists in VMEM, assembled by the kernel.
+    z = jnp.pad(
+        windows, ((0, 0), (n_fft // 2, rows_p * hop_length - s - n_fft // 2))
+    ).astype(jnp.bfloat16).reshape(n, rows_p, hop_length)
 
     bl = leaf_c.shape[1]
     n_mels = meld.shape[1]
@@ -288,24 +302,27 @@ def _melspec_core_dif(
         arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        partial(_kernel_dif, power=power, n_fft=n_fft, bl=bl, n_mels=n_mels),
-        grid=(nf_p // bf,),
+        partial(
+            _kernel_dif,
+            power=power, n_fft=n_fft, hop=hop_length, k=k, bl=bl, n_mels=n_mels,
+        ),
+        grid=(n,),
         in_specs=[
-            pl.BlockSpec((bf, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_p, hop_length), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             full(w), full(tw1), full(tw2), full(tw3),
             full(leaf_c), full(leaf_s), full(meld),
         ],
-        out_specs=pl.BlockSpec((bf, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nf_p, n_mels), jnp.float32),
+        out_specs=pl.BlockSpec((fp, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * fp, n_mels), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * nf_p * n_fft * bl + 2 * nf_p * 8 * bl * n_mels,
-            bytes_accessed=nf_p * n_fft * 2,
+            flops=4 * n * fp * n_fft * bl + 2 * n * fp * 8 * bl * n_mels,
+            bytes_accessed=n * rows_p * hop_length * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(frames, w, tw1, tw2, tw3, leaf_c, leaf_s, meld)
+    )(z, w, tw1, tw2, tw3, leaf_c, leaf_s, meld)
 
-    out = out[:nf].reshape(n, f, n_mels)
+    out = out.reshape(n, fp, n_mels)[:, :f]
     return jnp.transpose(out, (0, 2, 1))
 
 
@@ -416,7 +433,8 @@ def pallas_mel_spectrogram(
 ) -> jnp.ndarray:
     """[N, S] PCM windows -> [N, n_mels, F] mel spectrograms
     (librosa STFT conventions: centre/constant padding)."""
-    if _use_dif(int(n_fft)):
+    f = 1 + windows.shape[-1] // int(hop_length)
+    if _use_dif(int(n_fft)) and f <= MAX_FRAMES_PER_WINDOW:
         consts = _device_weights_dif(
             int(sr), int(n_fft), int(n_mels), float(fmin), float(fmax), float(break_freq), bool(htk), window
         )

@@ -100,3 +100,30 @@ def test_non_multiple_of_8_nfft_falls_back(rng):
     )
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=5e-3 * scale)
+
+
+def test_long_window_falls_back_to_direct(rng):
+    """Windows longer than MAX_FRAMES_PER_WINDOW frames cannot hold a full
+    frame matrix in VMEM; the dispatcher must take the direct kernel (which
+    blocks pre-materialised frames freely) and still match the FFT oracle."""
+    from audio_analysis_tpu.ops.pallas import melspec as m
+
+    sr, n_fft, hop, n_mels = 16000, 512, 32, 32
+    s = 32 * (m.MAX_FRAMES_PER_WINDOW + 5)  # f = s//hop + 1 > cap
+    assert m._use_dif(n_fft)  # DIF-eligible n_fft, but the length gates it
+    wins = rng.randn(1, s).astype(np.float32)
+    ref = np.asarray(
+        mel_spec(
+            stft_magnitude(jnp.asarray(wins), n_fft, hop),
+            sr, n_fft, n_mels, 50, 7000, 1750.0,
+        )
+    )
+    got = np.asarray(
+        pallas_mel_spectrogram(
+            jnp.asarray(wins),
+            sr=sr, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+            fmin=50, fmax=7000, break_freq=1750.0, interpret=True,
+        )
+    )
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=5e-3 * scale)
