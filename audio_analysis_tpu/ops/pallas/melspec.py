@@ -279,22 +279,62 @@ def _kernel_dif(
     out_ref[:] = acc
 
 
-@partial(jax.jit, static_argnames=("hop_length", "n_fft", "power", "interpret"))
+def z_layout_shapes(n_fft: int, hop_length: int, n_samples: int):
+    """(rows_p, fp, k) of the framed-DIF kernel's [rows_p, hop] input for
+    windows of ``n_samples``: k = ceil(n_fft/hop) slabs per frame, fp frames
+    padded to the sublane multiple, rows_p = fp + k."""
+    f = 1 + n_samples // hop_length
+    k = -(-n_fft // hop_length)
+    fp = -(-f // 8) * 8
+    return fp + k, fp, k
+
+
+def z_layout(n_fft: int, hop_length: int, n_samples: int):
+    """The framed-DIF input layout a caller must build to feed
+    ``pallas_mel_spectrogram(..., windows_is_z=True)``: each row is
+    ``n_fft//2`` zeros | the (masked, normalised) window | zeros, flat
+    [rows_p * hop] — i.e. the kernel's [rows_p, hop] block in row-major
+    order, so a gather can emit it directly and skip the separate pad +
+    cast + reshape pass entirely. Returns (rows_p, fp, k, z_len), or None
+    when the framed path would not be taken for these statics (caller must
+    then feed plain [N, n_samples] windows)."""
+    f = 1 + n_samples // hop_length
+    if not _use_dif(int(n_fft)) or f > MAX_FRAMES_PER_WINDOW:
+        return None
+    rows_p, fp, k = z_layout_shapes(int(n_fft), int(hop_length), int(n_samples))
+    return rows_p, fp, k, rows_p * int(hop_length)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("hop_length", "n_fft", "power", "n_samples", "interpret"),
+)
 def _melspec_core_dif(
-    windows, w, tw1, tw2, tw3, leaf_c, leaf_s, meld, *, hop_length, n_fft, power, interpret=False
+    windows, w, tw1, tw2, tw3, leaf_c, leaf_s, meld, *, hop_length, n_fft, power,
+    n_samples=None, interpret=False
 ):
-    n, s = windows.shape
+    n = windows.shape[0]
+    s = int(n_samples) if n_samples is not None else windows.shape[1]
     f = 1 + s // hop_length
-    k = -(-n_fft // hop_length)  # slabs per frame
-    fp = -(-f // 8) * 8  # frames per window, sublane-aligned
-    rows_p = fp + k  # so slab i can read rows [i, i + fp)
+    rows_p, fp, k = z_layout_shapes(n_fft, hop_length, s)
     # One window per grid step: the padded PCM lands in HBM as [rows, hop]
     # bf16 (1x the PCM bytes — the bf16 rounding of the PCM is the kernel's
     # existing numerics contract) and the 6.4x-amplified frame matrix only
     # ever exists in VMEM, assembled by the kernel.
-    z = jnp.pad(
-        windows, ((0, 0), (n_fft // 2, rows_p * hop_length - s - n_fft // 2))
-    ).astype(jnp.bfloat16).reshape(n, rows_p, hop_length)
+    if n_samples is not None:
+        # caller pre-built the z layout (pad n_fft//2 | window | zero tail),
+        # usually emitting it straight out of its own gather — the reshape
+        # below splits the trailing dim in row-major order, i.e. it is free
+        if windows.shape[1] != rows_p * hop_length:
+            raise ValueError(
+                f"windows_is_z: expected {rows_p * hop_length} samples/row, "
+                f"got {windows.shape[1]}"
+            )
+        z = windows.astype(jnp.bfloat16).reshape(n, rows_p, hop_length)
+    else:
+        z = jnp.pad(
+            windows, ((0, 0), (n_fft // 2, rows_p * hop_length - s - n_fft // 2))
+        ).astype(jnp.bfloat16).reshape(n, rows_p, hop_length)
 
     bl = leaf_c.shape[1]
     n_mels = meld.shape[1]
@@ -429,10 +469,30 @@ def pallas_mel_spectrogram(
     power: float = 2.0,
     htk: bool = True,
     window: str = "hann",
+    windows_is_z: bool = False,
+    n_samples: int = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[N, S] PCM windows -> [N, n_mels, F] mel spectrograms
-    (librosa STFT conventions: centre/constant padding)."""
+    (librosa STFT conventions: centre/constant padding).
+
+    ``windows_is_z=True``: the input is already in the framed-DIF kernel's
+    flat z layout (see ``z_layout``; requires ``n_samples`` for the true
+    window length) — the pad/cast/reshape pass is skipped entirely."""
+    if windows_is_z:
+        if n_samples is None or z_layout(int(n_fft), int(hop_length), int(n_samples)) is None:
+            raise ValueError(
+                "windows_is_z requires n_samples and a framed-DIF-eligible "
+                "(n_fft, hop, length) combination — gate on z_layout(...)"
+            )
+        consts = _device_weights_dif(
+            int(sr), int(n_fft), int(n_mels), float(fmin), float(fmax), float(break_freq), bool(htk), window
+        )
+        return _melspec_core_dif(
+            windows, *consts,
+            hop_length=int(hop_length), n_fft=int(n_fft), power=float(power),
+            n_samples=int(n_samples), interpret=interpret,
+        )
     f = 1 + windows.shape[-1] // int(hop_length)
     if _use_dif(int(n_fft)) and f <= MAX_FRAMES_PER_WINDOW:
         consts = _device_weights_dif(

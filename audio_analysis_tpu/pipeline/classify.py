@@ -68,10 +68,25 @@ def _fused_group_program(
     from audio_analysis_tpu.pipeline.frontend import _use_pallas_default
 
     use_pallas = _use_pallas_default()
+    from audio_analysis_tpu.ops.pallas.melspec import z_layout
+
+    # With the Pallas frontend, the gather can emit the kernel's z layout
+    # (pad | window | zeros as [rows, hop] rows, bf16) straight out of the
+    # scan, with masking AND min-max normalisation fused in — the plain
+    # [n_windows, sample] f32 grid, the separate normalise pass, and the
+    # kernel's pad/cast/reshape pass all disappear from HBM. mfcc reads raw
+    # windows, so that config keeps the plain grid. Resolved HERE (it reads
+    # AAT_PALLAS_ALG) and keyed, like use_pallas.
+    zlay = (
+        z_layout(int(cfg.n_fft), int(cfg.hop_length), int(sample_size))
+        if (use_pallas and not cfg.use_mfcc)
+        else None
+    )
     key = (
         tuple(id(m) for m in models),  # models are cached per path: stable
         bool(is_efficientnet),
         bool(use_pallas),
+        zlay,
         # content key for the mesh (id() keys once caused a
         # recompile-per-recording regression — see CLAUDE.md)
         None
@@ -114,41 +129,98 @@ def _fused_group_program(
         # 2^31 samples (~12 chip-hours of 48 kHz audio per dispatch).
         if frames.dtype == jnp.int16:  # int16 PCM upload path (serve)
             frames = frames.astype(jnp.float32) / 32768.0
-        padded = jnp.pad(frames, (sample_size, sample_size))
-        j = jnp.arange(sample_size, dtype=jnp.int32)
         n_w = base.shape[0]
         # K slices per scan step: the scan is the program's only sequential
         # chain, and one 3 s slice per step left it issuing 256 dependent
         # DMAs (~13 GB/s effective). K independent slices per step let the
         # DMAs overlap (window counts are bucketed to 64, so K=8 divides).
         k_unroll = 8 if n_w % 8 == 0 else 1
+        if zlay is not None:
+            # z-layout gather: each slice is the window WITH the kernel's
+            # n_fft//2 centre-pad margin; masking maps the margins and the
+            # invalid tail to true zeros, and the reference's normalize_data
+            # (quirks included: epsilon added AFTER the division, then the
+            # 0.5 shift — ops/scale.py::normalize_minmax) runs in-scan over
+            # exactly the window region the plain grid would have normalised
+            # (its masked zeros included). Output is the kernel's bf16 input
+            # — same values the plain path would hand it after its separate
+            # normalise + pad + cast passes.
+            z_len = zlay[3]
+            shift = int(cfg.n_fft) // 2
+            padded = jnp.pad(frames, (sample_size + shift, sample_size + z_len))
+            jz = jnp.arange(z_len, dtype=jnp.int32)
+            region = (jz >= shift) & (jz < shift + sample_size)
 
-        def slice_k(_, bvh):
-            b, lo, hi = bvh  # each [k_unroll]
-            w = jnp.stack(
-                [
-                    jax.lax.dynamic_slice(
-                        padded, (b[i] + sample_size,), (sample_size,)
+            def slice_z(_, bvh):
+                b, lo, hi = bvh  # each [k_unroll]
+                w = jnp.stack(
+                    [
+                        jax.lax.dynamic_slice(
+                            padded, (b[i] + sample_size,), (z_len,)
+                        )
+                        for i in range(k_unroll)
+                    ]
+                )
+                w = jnp.where(
+                    (jz[None, :] >= lo[:, None] + shift)
+                    & (jz[None, :] < hi[:, None] + shift),
+                    w,
+                    0.0,
+                )
+                if cfg.normalize:
+                    mn = jnp.min(
+                        jnp.where(region, w, jnp.inf), axis=1, keepdims=True
                     )
-                    for i in range(k_unroll)
-                ]
-            )
-            return None, jnp.where(
-                (j[None, :] >= lo[:, None]) & (j[None, :] < hi[:, None]), w, 0.0
-            )
+                    w = w - mn
+                    mx = jnp.max(
+                        jnp.where(region, w, -jnp.inf), axis=1, keepdims=True
+                    )
+                    w = w / mx + 0.000001
+                    w = (w - 0.5) * 2.0
+                return None, jnp.where(region, w, 0.0).astype(jnp.bfloat16)
 
-        _, grid = jax.lax.scan(
-            slice_k,
-            None,
-            (
-                base.astype(jnp.int32).reshape(-1, k_unroll),
-                vlo.reshape(-1, k_unroll),
-                vhi.reshape(-1, k_unroll),
-            ),
-        )
-        grid = grid.reshape(n_w, sample_size)
+            _, grid = jax.lax.scan(
+                slice_z,
+                None,
+                (
+                    base.astype(jnp.int32).reshape(-1, k_unroll),
+                    vlo.reshape(-1, k_unroll),
+                    vhi.reshape(-1, k_unroll),
+                ),
+            )
+            grid = grid.reshape(n_w, z_len)
+        else:
+            padded = jnp.pad(frames, (sample_size, sample_size))
+            j = jnp.arange(sample_size, dtype=jnp.int32)
+
+            def slice_k(_, bvh):
+                b, lo, hi = bvh  # each [k_unroll]
+                w = jnp.stack(
+                    [
+                        jax.lax.dynamic_slice(
+                            padded, (b[i] + sample_size,), (sample_size,)
+                        )
+                        for i in range(k_unroll)
+                    ]
+                )
+                return None, jnp.where(
+                    (j[None, :] >= lo[:, None]) & (j[None, :] < hi[:, None]), w, 0.0
+                )
+
+            _, grid = jax.lax.scan(
+                slice_k,
+                None,
+                (
+                    base.astype(jnp.int32).reshape(-1, k_unroll),
+                    vlo.reshape(-1, k_unroll),
+                    vhi.reshape(-1, k_unroll),
+                ),
+            )
+            grid = grid.reshape(n_w, sample_size)
         feats = spectrogram_grid(
             grid,
+            windows_is_z=zlay is not None,
+            n_samples=sample_size if zlay is not None else None,
             sr=int(sr),
             hop_length=int(cfg.hop_length),
             n_fft=int(cfg.n_fft),

@@ -97,6 +97,8 @@ def spectrogram_grid(windows, *, use_pallas=None, **kw):
         "use_mfcc",
         "channels",
         "use_pallas",
+        "windows_is_z",
+        "n_samples",
     ),
 )
 def _spectrogram_grid_impl(
@@ -117,8 +119,17 @@ def _spectrogram_grid_impl(
     use_mfcc: bool = False,
     channels: int = 1,
     use_pallas: bool = False,
+    windows_is_z: bool = False,
+    n_samples: int = None,
 ) -> jnp.ndarray:
-    if normalize:
+    if windows_is_z:
+        # the caller's gather emitted the framed-DIF kernel's z layout
+        # directly, with masking AND min-max normalisation already applied
+        # in-gather (fused into its scan); requires the Pallas frontend and
+        # no raw-window consumers (mfcc reads plain windows)
+        if not use_pallas or use_mfcc:
+            raise ValueError("windows_is_z requires use_pallas and no mfcc")
+    elif normalize:
         windows = normalize_minmax(windows)
 
     if htk:
@@ -131,6 +142,7 @@ def _spectrogram_grid_impl(
                 windows, sr=sr, n_fft=n_fft, hop_length=hop_length,
                 n_mels=n_mels, fmin=f_lo, fmax=f_hi, break_freq=mel_break,
                 power=power, htk=True,
+                windows_is_z=windows_is_z, n_samples=n_samples,
             )
         else:
             from audio_analysis_tpu.ops.pallas.melspec import mel_support_bins
@@ -154,6 +166,7 @@ def _spectrogram_grid_impl(
             mel = pallas_mel_spectrogram(
                 windows, sr=sr, n_fft=n_fft, hop_length=hop_length,
                 n_mels=n_mels, fmin=50.0, fmax=11000.0, power=2.0, htk=False,
+                windows_is_z=windows_is_z, n_samples=n_samples,
             )
         else:
             from audio_analysis_tpu.ops.pallas.melspec import mel_support_bins

@@ -127,3 +127,94 @@ def test_long_window_falls_back_to_direct(rng):
     )
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=5e-3 * scale)
+
+
+def test_z_layout_feed_matches_plain(rng):
+    """Feeding the kernel a caller-built z layout (windows_is_z=True) must
+    be exactly the plain [N, S] path: same pad placement, same bf16 cast."""
+    from audio_analysis_tpu.ops.pallas import melspec as m
+
+    sr, n_fft, hop, n_mels = 16000, 512, 160, 40
+    s = 4000
+    lay = m.z_layout(n_fft, hop, s)
+    assert lay is not None
+    rows_p, fp, k, z_len = lay
+    assert z_len == rows_p * hop
+    wins = rng.randn(2, s).astype(np.float32)
+    z = np.zeros((2, z_len), np.float32)
+    z[:, n_fft // 2 : n_fft // 2 + s] = wins
+    kw = dict(
+        sr=sr, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+        fmin=50, fmax=7000, break_freq=1750.0, interpret=True,
+    )
+    plain = np.asarray(pallas_mel_spectrogram(jnp.asarray(wins), **kw))
+    viaz = np.asarray(
+        pallas_mel_spectrogram(
+            jnp.asarray(z), windows_is_z=True, n_samples=s, **kw
+        )
+    )
+    np.testing.assert_array_equal(plain, viaz)
+
+
+def test_z_layout_rejects_bad_shapes(rng):
+    from audio_analysis_tpu.ops.pallas import melspec as m
+
+    with pytest.raises(ValueError):
+        pallas_mel_spectrogram(
+            jnp.zeros((1, 999)), windows_is_z=True, n_samples=4000,
+            sr=16000, n_fft=512, hop_length=160, n_mels=40,
+            fmin=50, fmax=7000, interpret=True,
+        )
+    # n_samples omitted
+    with pytest.raises(ValueError):
+        pallas_mel_spectrogram(
+            jnp.zeros((1, 999)), windows_is_z=True,
+            sr=16000, n_fft=512, hop_length=160, n_mels=40,
+            fmin=50, fmax=7000, interpret=True,
+        )
+
+
+def test_z_gather_classify_matches_plain_pallas(tmp_path, monkeypatch):
+    """The fused program's z-layout gather (masking + the reference's
+    normalize_data fused into the slice scan, emitting the kernel's bf16
+    input directly) must give the identical classify result to the plain
+    grid -> normalize_minmax -> kernel-side pad path. Catches any drift in
+    the in-scan normalisation (op order, the *2.0, the epsilon quirk)."""
+    import json
+    import sys
+    from functools import partial
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench as B
+    import audio_analysis_tpu.pipeline.frontend as fe
+    from audio_analysis_tpu.ops.pallas import melspec as m
+    from audio_analysis_tpu.pipeline.classify import classify_frames
+
+    models = B.build_fixture_models(tmp_path)[:1]
+    # raw-power features: with db_scale the per-window ref=max cancels any
+    # uniform normalisation-scale drift (e.g. a missing *2.0), hiding it
+    meta_p = Path(models[0]) / "metadata.txt"
+    meta = json.loads(meta_p.read_text())
+    meta["db_scale"] = False
+    meta_p.write_text(json.dumps(meta))
+    y, sr = B.make_recording(12, seed=3)
+
+    # force the Pallas frontend on the CPU backend via interpret mode
+    monkeypatch.setattr(fe, "_pallas_backend", lambda: True)
+    monkeypatch.setenv("AAT_PALLAS", "1")
+    monkeypatch.setattr(
+        m, "pallas_mel_spectrogram",
+        partial(pallas_mel_spectrogram, interpret=True),
+    )
+
+    a = classify_frames(y, sr, models, False, None, rng=np.random.RandomState(0))
+    assert a is not None and len(a[0]) >= 1
+
+    # same kernel, but the plain [N, S] gather + in-frontend normalisation
+    monkeypatch.setattr(m, "z_layout", lambda *args: None)
+    b = classify_frames(y, sr, models, False, None, rng=np.random.RandomState(0))
+
+    sa = json.dumps([t.get_meta() for t in a[0]]) + json.dumps(a[1:3], default=str)
+    sb = json.dumps([t.get_meta() for t in b[0]]) + json.dumps(b[1:3], default=str)
+    assert sa == sb

@@ -93,6 +93,11 @@ def main():
     results["fused_f32"] = _time(prog, fused_args)
     prog16 = _fused_group_program([model_bf16], cfg, sr, sample, 32)
     results["fused_bf16"] = _time(prog16, fused_args)
+    # the AAT_FAST composition: Pallas DFT->mel frontend + bf16 model
+    # (use_pallas is resolved and cache-keyed at program build)
+    with _env(AAT_PALLAS="1"):
+        prog_fast = _fused_group_program([model_bf16], cfg, sr, sample, 32)
+    results["fused_fast"] = _time(prog_fast, fused_args)
 
     # -- stage 1: window materialisation (scan of dynamic slices) ----------
     @jax.jit
@@ -147,6 +152,7 @@ def main():
     fused = results["fused_f32"]
     report["windows_per_s_f32"] = round(n / fused, 1)
     report["windows_per_s_bf16"] = round(n / results["fused_bf16"], 1)
+    report["windows_per_s_fast"] = round(n / results["fused_fast"], 1)
     parts = ["slice_scan", "frontend_xla", "effnet_f32", "track_means"]
     report["stage_fraction_of_fused"] = {
         k: round(results[k] / fused, 3) for k in parts if isinstance(results[k], float)
