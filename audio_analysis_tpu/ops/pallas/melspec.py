@@ -12,7 +12,8 @@ Round-3 tuning (all measured on the chip, 256x3s windows @ 160 mels):
 - the DFT matrices and framed PCM are STORED bf16 (the MXU consumed bf16
   operands anyway; f32 storage just doubled the dominant HBM stream);
 - BF=512 so each (frame-block, bin-chunk) matrix re-fetch is amortised.
-Net: 41.7 ms -> 17.0 ms per 256 windows (XLA FFT path: 52 ms).
+Then the DIF-factored tree (-> 12.8) and in-kernel framing (-> 8.1).
+Net: 41.7 ms -> 8.1 ms per 256 windows (XLA FFT path: 52 ms).
 
 Numerics: bf16 MXU operands, f32 accumulation — ~1-2% relative on mel
 magnitudes (~0.15 dB max on dB-scaled features). That is why this kernel is
