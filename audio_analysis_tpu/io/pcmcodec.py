@@ -12,8 +12,10 @@ wire bytes. Decode is exact: bit-for-bit the original int16 samples.
 
 Design constraints (TPU/XLA):
 - static shapes: blocks are grouped by bit width on host; each width's
-  stream is a dense [n_blocks_w, 16*w]-word matrix padded to a size bucket,
-  so the decode program recompiles only per bucket profile, not per batch;
+  stream is a dense [n_blocks_w, 16*w]-word matrix padded to a fine
+  (1/16-octave) size bucket; decode runs one small program per tier into a
+  donated grid, so each tier's compile profile is independent and the
+  fine buckets stay compile-cheap (padding <=6%, was 15-17%);
 - no data-dependent gathers: within a width the bit positions of the 512
   samples are compile-time constants (a block is always exactly 16*w words:
   512*w/32), so unpacking is constant-index takes + shifts; block reassembly
@@ -80,7 +82,9 @@ class EncodedPCM(NamedTuple):
 
     shape: tuple  # (B, T) original int16 shape, T % BLOCK == 0 after pad
     n_valid: int  # T before padding (per row)
-    order: int  # predictor order (1, 2, or 3)
+    order: int  # predictor order (0, 1, 2, or 3; 0 = verbatim zigzag —
+    # optimal for noise-dominated content, where differencing near-white
+    # noise doubles the variance and costs a whole bit per sample)
     tiers: dict
 
 
@@ -120,15 +124,18 @@ def _pack_words(z: np.ndarray, w: int) -> np.ndarray:
 
 
 def _bucket(n: int) -> int:
-    """Pad tier row counts to coarse buckets to bound decode recompiles:
-    powers of two plus half-steps (64, 96, 128, 192, ...) — <=33% pad waste,
-    ~2 program shapes per octave."""
+    """Pad tier row counts to 1/16-octave buckets (64, 128, ..., then
+    p + k*p/16): <=6.25% pad waste, 16 shapes per octave. Fine buckets are
+    affordable because the decode runs as one small program PER TIER (see
+    decode_pcm) — a tier's compile profile is its own (width, rows) alone,
+    not the joint multiset across tiers, so profiles accumulate linearly.
+    The original half-step buckets wasted 15-17% of the wire in padding on
+    measured batches — most of what the codec saved."""
     if n <= 64:
         return 64
     p = 1 << int(np.floor(np.log2(n)))
-    if n <= p + p // 2:
-        return p + p // 2 if n > p else p
-    return 2 * p
+    step = max(64, p // 16)
+    return -(-n // step) * step
 
 
 def encode_pcm(x: np.ndarray, order: int = None) -> EncodedPCM:
@@ -167,7 +174,7 @@ def encode_pcm(x: np.ndarray, order: int = None) -> EncodedPCM:
 
     if order is None:
         best = None
-        for o in (1, 2, 3):
+        for o in (0, 1, 2, 3):
             z, tier, words = tiers_for(o)
             if best is None or words < best[3]:
                 best = (o, z, tier, words)
@@ -195,12 +202,12 @@ def encode_pcm(x: np.ndarray, order: int = None) -> EncodedPCM:
 def _encode_native(lib, x, b, t, n_valid, order) -> EncodedPCM:
     x = np.ascontiguousarray(x)
     n_blocks = (b * t) // BLOCK
-    widths3 = np.empty((3, n_blocks), np.uint8)
-    lib.widths(x, b, t, widths3)
+    widths4 = np.empty((4, n_blocks), np.uint8)
+    lib.widths(x, b, t, widths4)
     if order is None:
-        totals = [int(widths3[o].astype(np.int64).sum()) for o in range(3)]
-        order = 1 + int(np.argmin(totals))
-    w_chosen = widths3[order - 1]
+        totals = [int(widths4[o].astype(np.int64).sum()) for o in range(4)]
+        order = int(np.argmin(totals))
+    w_chosen = widths4[order]
 
     # The packer writes each block straight into its padded tier slot
     # (tier-major layout), so the per-width word matrices are zero-copy
@@ -270,15 +277,31 @@ def _unpack_words(words: jnp.ndarray, w: int) -> jnp.ndarray:
     return hi | lo
 
 
-def _decode_core(shape, order, tier_widths, *tier_arrays):
+def _scatter_tier_core(z, positions, words, *, w):
+    """Unpack one width tier and scatter its blocks into the zigzag grid.
+    `z` is donated: each tier updates the [n_blocks+1, BLOCK] buffer in
+    place, so running one small program per tier costs no extra HBM."""
+    return z.at[positions].set(_unpack_words(words, w))
+
+
+@lru_cache(maxsize=2)
+def _decode_fns(backend: str):
+    """Per-backend jits: buffer donation is what makes the per-tier
+    programs free on TPU; the CPU backend does not implement donation and
+    would warn on every call, so skip it there (it still runs, just with
+    copies — CPU decode is the test path only)."""
+    donate = () if backend == "cpu" else (0,)
+    scatter = partial(
+        jax.jit, static_argnames=("w",), donate_argnums=donate
+    )(_scatter_tier_core)
+    # no donation for integrate: its int16 output cannot alias the uint32
+    # grid (different byte sizes), so donating would only emit a warning
+    integrate = partial(jax.jit, static_argnums=(1, 2))(_integrate_core)
+    return scatter, integrate
+
+
+def _integrate_core(z, shape, order):
     b, t = shape
-    n_blocks = (b * t) // BLOCK
-    z = jnp.zeros((n_blocks + 1, BLOCK), jnp.uint32)  # +1 dummy pad row
-    for w, positions, words in zip(
-        tier_widths, tier_arrays[::2], tier_arrays[1::2]
-    ):
-        vals = _unpack_words(words, int(w))
-        z = z.at[positions].set(vals)
     z = z[:-1]
     r = ((z >> jnp.uint32(1)).astype(jnp.int32)) ^ -(z & jnp.uint32(1)).astype(
         jnp.int32
@@ -289,18 +312,23 @@ def _decode_core(shape, order, tier_widths, *tier_arrays):
     return r.astype(jnp.int16)
 
 
-_decode_jit = partial(jax.jit, static_argnums=(0, 1, 2))(_decode_core)
-
-
 def decode_pcm(enc: EncodedPCM) -> jnp.ndarray:
     """Decode on the default backend -> int16 [B, T_padded] device array.
-    Slice [:, :enc.n_valid] for the original samples."""
-    widths = tuple(sorted(enc.tiers))
-    arrays = []
-    for w in widths:
+    Slice [:, :enc.n_valid] for the original samples.
+
+    Structured as one program per width tier (scatter into a donated
+    zigzag grid) plus an integrate program, NOT one fused program: each
+    tier's compile profile is then its own (width, bucketed rows) pair —
+    independent of what other tiers a batch happens to contain — so the
+    fine `_bucket` granularity stays compile-cheap on the tunnel."""
+    scatter, integrate = _decode_fns(jax.default_backend())
+    b, t = enc.shape
+    n_blocks = (b * t) // BLOCK
+    z = jnp.zeros((n_blocks + 1, BLOCK), jnp.uint32)  # +1 dummy pad row
+    for w in sorted(enc.tiers):
         p, wd = enc.tiers[w]
-        arrays += [jnp.asarray(p), jnp.asarray(wd)]
-    return _decode_jit(enc.shape, enc.order, widths, *arrays)
+        z = scatter(z, jnp.asarray(p), jnp.asarray(wd), w=int(w))
+    return integrate(z, enc.shape, enc.order)
 
 
 def decode_pcm_np(enc: EncodedPCM) -> np.ndarray:

@@ -11,12 +11,15 @@
 // pinned by tests/test_pcmcodec.py.
 //
 // The residuals are direct finite differences of the input —
+//   r0[i] = x[i]                                        (no prediction)
 //   r1[i] = x[i] - x[i-1]
 //   r2[i] = x[i] - 2 x[i-1] + x[i-2]
 //   r3[i] = x[i] - 3 x[i-1] + 3 x[i-2] - x[i-3]        (x[<row start] = 0)
 // — written with direct array indexing (NOT a carried previous-sample
 // state) so gcc auto-vectorizes the width scan; the serving hosts have one
-// core, so SIMD is the only parallelism available.
+// core, so SIMD is the only parallelism available. Order 0 matters for
+// noise-dominated field recordings: differencing near-white noise DOUBLES
+// its variance (one whole bit per sample), so "no predictor" wins there.
 //
 // Built on demand via native/__init__.py (g++ -O3 -march=native), ctypes.
 
@@ -60,7 +63,9 @@ inline void pack_block(const int16_t* x, int64_t row, int64_t s, int w,
     const int32_t x0 = x[j];
     const int32_t x1 = (j - 1 >= row) ? x[j - 1] : 0;
     int32_t r;
-    if (kOrder == 1) {
+    if (kOrder == 0) {
+      r = x0;
+    } else if (kOrder == 1) {
       r = x0 - x1;
     } else if (kOrder == 2) {
       const int32_t x2 = (j - 2 >= row) ? x[j - 2] : 0;
@@ -84,8 +89,8 @@ inline void pack_block(const int16_t* x, int64_t row, int64_t s, int w,
 
 extern "C" {
 
-// Per-block widths for orders 1..3. x is [B, T] row-major int16, T % 512
-// == 0. widths_out is [3, n_blocks] (order-1 row first). Returns n_blocks.
+// Per-block widths for orders 0..3. x is [B, T] row-major int16, T % 512
+// == 0. widths_out is [4, n_blocks] (order-0 row first). Returns n_blocks.
 int64_t pcm_widths(const int16_t* x, int64_t B, int64_t T,
                    uint8_t* widths_out) {
   const int64_t nb_row = T / kBlock;
@@ -94,13 +99,14 @@ int64_t pcm_widths(const int16_t* x, int64_t B, int64_t T,
     const int64_t row = b * T;
     for (int64_t k = 0; k < nb_row; ++k) {
       const int64_t s = row + k * kBlock;
-      uint32_t m1 = 0, m2 = 0, m3 = 0;
+      uint32_t m0 = 0, m1 = 0, m2 = 0, m3 = 0;
       if (k == 0) {
         // row start: guard the first 3 samples' out-of-row reads
         for (int64_t i = 0; i < 3; ++i) {
           const int32_t x0 = x[s + i];
           const int32_t x1 = i >= 1 ? x[s + i - 1] : 0;
           const int32_t x2 = i >= 2 ? x[s + i - 2] : 0;
+          m0 = umax(m0, zigzag(x0));
           m1 = umax(m1, zigzag(x0 - x1));
           m2 = umax(m2, zigzag(x0 - 2 * x1 + x2));
           m3 = umax(m3, zigzag(x0 - 3 * x1 + 3 * x2));
@@ -109,6 +115,7 @@ int64_t pcm_widths(const int16_t* x, int64_t B, int64_t T,
         for (int64_t i = 0; i < 3; ++i) {
           const int32_t x0 = x[s + i], x1 = x[s + i - 1], x2 = x[s + i - 2],
                         x3 = x[s + i - 3];
+          m0 = umax(m0, zigzag(x0));
           m1 = umax(m1, zigzag(x0 - x1));
           m2 = umax(m2, zigzag(x0 - 2 * x1 + x2));
           m3 = umax(m3, zigzag(x0 - 3 * x1 + 3 * x2 - x3));
@@ -118,14 +125,16 @@ int64_t pcm_widths(const int16_t* x, int64_t B, int64_t T,
       for (int64_t i = 3; i < kBlock; ++i) {
         const int32_t x0 = x[s + i], x1 = x[s + i - 1], x2 = x[s + i - 2],
                       x3 = x[s + i - 3];
+        m0 = umax(m0, zigzag(x0));
         m1 = umax(m1, zigzag(x0 - x1));
         m2 = umax(m2, zigzag(x0 - 2 * x1 + x2));
         m3 = umax(m3, zigzag(x0 - 3 * x1 + 3 * x2 - x3));
       }
       const int64_t kk = b * nb_row + k;
-      widths_out[kk] = static_cast<uint8_t>(width_of(m1));
-      widths_out[n_blocks + kk] = static_cast<uint8_t>(width_of(m2));
-      widths_out[2 * n_blocks + kk] = static_cast<uint8_t>(width_of(m3));
+      widths_out[kk] = static_cast<uint8_t>(width_of(m0));
+      widths_out[n_blocks + kk] = static_cast<uint8_t>(width_of(m1));
+      widths_out[2 * n_blocks + kk] = static_cast<uint8_t>(width_of(m2));
+      widths_out[3 * n_blocks + kk] = static_cast<uint8_t>(width_of(m3));
     }
   }
   return n_blocks;
@@ -147,6 +156,9 @@ int64_t pcm_pack(const int16_t* x, int64_t B, int64_t T, int32_t order,
       const int64_t s = row + k * kBlock;
       uint32_t* out = words_out + word_offs[kk];
       switch (order) {
+        case 0:
+          pack_block<0>(x, row, s, w, out);
+          break;
         case 1:
           pack_block<1>(x, row, s, w, out);
           break;

@@ -32,7 +32,7 @@ def _cases(rng):
     }
 
 
-@pytest.mark.parametrize("order", [None, 1, 2, 3])
+@pytest.mark.parametrize("order", [None, 0, 1, 2, 3])
 def test_roundtrip_exact(rng, order):
     for name, x in _cases(rng).items():
         enc = pc.encode_pcm(x, order=order)
@@ -49,7 +49,7 @@ def test_native_matches_numpy_fallback_layout(rng):
     for name, x in _cases(rng).items():
         if x.ndim == 1:
             x = x[None]
-        for order in (1, 2, 3):
+        for order in (0, 1, 2, 3):
             en = pc.encode_pcm(np.ascontiguousarray(x), order=order)
             saved = nat._LIBS.get("pcmcodec")
             nat._LIBS["pcmcodec"] = None
@@ -159,3 +159,15 @@ def test_classify_codec_path_matches_raw(rng, monkeypatch, tmp_path):
     sa = json.dumps([t.get_meta() for t in a[0]]) + json.dumps(a[1:3], default=str)
     sb = json.dumps([t.get_meta() for t in b[0]]) + json.dumps(b[1:3], default=str)
     assert sa == sb
+
+
+def test_order0_wins_on_white_noise(rng):
+    """Differencing near-white noise doubles its variance (one whole bit
+    per sample), so the auto-selector must pick the verbatim order-0
+    predictor there — and it must put strictly fewer bytes on the wire."""
+    x = np.clip(rng.randn(2, 96000) * 328, -32768, 32767).astype(np.int16)
+    enc = pc.encode_pcm(x)
+    assert enc.order == 0
+    assert pc.wire_bytes(enc) < pc.wire_bytes(pc.encode_pcm(x, order=1))
+    dec = pc.decode_pcm_np(enc)[:, : enc.n_valid]
+    assert np.array_equal(dec, x)
