@@ -65,14 +65,14 @@ def wire_codec_enabled(default="1"):
 
 
 BLOCK = 512  # samples per block; 512/32=16 -> a block is exactly 16*w words
-# Tier palette: block widths snap UP to one of these. The decode program
-# compiles per (order, widths-present, per-tier bucket) profile; a free
-# 0..20 width range made that profile space recompile-prone on
-# heterogeneous recordings (first compile over the tunnel is 6 s-6 min),
-# while the 10-value palette costs ~2% extra wire. 0 = digital silence
-# (implicit), 32 = the escape (orders<=3 zigzag residuals fit 20 bits
-# except pathological alternation).
-_WIDTHS = (0, 4, 6, 8, 10, 12, 14, 16, 20, 32)
+# Tier palette: exact block widths 0..20 (an order<=3 zigzag residual of
+# int16 fits 20 bits; 32 is an unreachable defensive escape). Exact widths
+# became affordable when decode moved to one small program per tier (see
+# decode_pcm): a tier's compile profile is its own (width, rows-bucket)
+# pair, so a free width range no longer multiplies a joint profile space.
+# The old coarse palette (0,4,6,...,20,32) measured 2.7% extra wire on the
+# bench batch. 0 = digital silence (implicit: scatter target starts zeroed).
+_WIDTHS = tuple(range(21)) + (32,)
 
 
 class EncodedPCM(NamedTuple):
