@@ -388,9 +388,9 @@ def classify_frames(
         if wire_codec_enabled():
             # lossless wire codec: ~1.5x less upload wall-time (see
             # io/pcmcodec.py); decode is exact so downstream is unchanged
-            from audio_analysis_tpu.io.pcmcodec import encode_pcm, decode_pcm
+            from audio_analysis_tpu.io.pcmcodec import upload_pcm
 
-            frames_dev = decode_pcm(encode_pcm(frames_np))[0, : len(frames_np)]
+            frames_dev = upload_pcm(frames_np)[0, : len(frames_np)]
         else:
             frames_dev = jnp.asarray(frames_np)
     else:

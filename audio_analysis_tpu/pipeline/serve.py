@@ -174,9 +174,9 @@ class BatchAnalyzer:
             # lossless residual codec + multi-stream tier upload + on-device
             # unpack: measured 1.5x faster than the raw int16 device_put for
             # an 8x60s batch on the tunnel-attached chip (io/pcmcodec.py)
-            from audio_analysis_tpu.io.pcmcodec import encode_pcm, decode_pcm
+            from audio_analysis_tpu.io.pcmcodec import upload_pcm
 
-            frames_dev = decode_pcm(encode_pcm(stacked))
+            frames_dev = upload_pcm(stacked)
             detect_handle = detect_batch_dispatch(frames_dev, n_valid, sr)
             return (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked)
         if self._multihost:

@@ -171,3 +171,20 @@ def test_order0_wins_on_white_noise(rng):
     assert pc.wire_bytes(enc) < pc.wire_bytes(pc.encode_pcm(x, order=1))
     dec = pc.decode_pcm_np(enc)[:, : enc.n_valid]
     assert np.array_equal(dec, x)
+
+
+def test_upload_pcm_raw_fallback(rng):
+    """upload_pcm must ship raw (still exact) when the encoding would cost
+    more wire bytes than the samples, and keep the codec when it wins."""
+    loud = np.clip(rng.randn(2, 48000) * 9000, -32768, 32767).astype(np.int16)
+    enc = pc.encode_pcm(loud)
+    assert pc.wire_bytes(enc) >= loud.nbytes  # fixture really is incompressible
+    up = np.asarray(pc.upload_pcm(loud))
+    assert np.array_equal(up[:, : loud.shape[1]], loud)
+
+    tonal = (np.sin(np.arange(2 * 48000).reshape(2, -1) / 9.0) * 8000).astype(
+        np.int16
+    )
+    assert pc.wire_bytes(pc.encode_pcm(tonal)) < tonal.nbytes
+    up = np.asarray(pc.upload_pcm(tonal))
+    assert np.array_equal(up[:, : tonal.shape[1]], tonal)

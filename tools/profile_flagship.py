@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--windows", type=int, default=256)
     ap.add_argument("--stages", action="store_true",
                     help="also time EfficientNet block prefixes (many compiles)")
+    ap.add_argument("--bf16-stages", action="store_true",
+                    help="run the block prefixes in bfloat16 (the AAT_FAST dtype)")
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     ap.add_argument("--out", default=str(REPO / "PROFILE_FLAGSHIP.json"))
     args = ap.parse_args()
@@ -162,7 +164,10 @@ def main():
     if args.stages:
         from audio_analysis_tpu.models.keras_graph import KerasModel
 
-        km = KerasModel.load(Path(effnet_dir))
+        km = KerasModel.load(
+            Path(effnet_dir),
+            compute_dtype="bfloat16" if args.bf16_stages else None,
+        )
         names = [l.get("name") for l in km._layers]
         # last layer of each group (stem, blockN, top) in config order
         group_last = {}
