@@ -254,7 +254,11 @@ def bench_mfu(effnet_dir, sr=48000):
         flops = n_windows * (0.39e9 * (160 * 226) / (224 * 224) * 2 + 226 * 5 * 4096 * np.log2(4096) * 2)
 
     def measure(p):
-        reps = 8
+        # reps=64: each measurement window carries a ~3.7 ms dispatch+sync
+        # floor over the tunnel (measured via an input-only prefix program);
+        # at reps=8 that floor inflated per-call time ~25% on the fast
+        # program. 64 calls amortize it below 1%.
+        reps = 64
         t0 = time.perf_counter()
         for _ in range(reps):
             out = p(*args)
