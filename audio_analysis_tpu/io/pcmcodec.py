@@ -4,7 +4,7 @@ Why this exists: on a remote-attached TPU (RPC tunnel) the host->device PCM
 upload is the serving bottleneck — the streamed batch pipeline measures
 within ~5% of the raw wire rate for int16 uploads (see bench.py r2/r3 and
 docs/PERFORMANCE.md). Raw 16-bit PCM is not the information floor for field
-recordings: after an order-1/2 linear predictor most 512-sample blocks need
+recordings: after an order-1/2 linear predictor most 256-sample blocks need
 well under 16 bits per residual (this is the "shorten"/FLAC-fixed-predictor
 observation). So the host packs zigzag residuals at a per-block bit width
 and the TPU unpacks + integrates — trading abundant VPU cycles for scarce
@@ -12,13 +12,13 @@ wire bytes. Decode is exact: bit-for-bit the original int16 samples.
 
 Design constraints (TPU/XLA):
 - static shapes: blocks are grouped by bit width on host; each width's
-  stream is a dense [n_blocks_w, 16*w]-word matrix padded to a fine
+  stream is a dense [n_blocks_w, (BLOCK/32)*w]-word matrix padded to a fine
   (1/16-octave) size bucket; decode runs one small program per tier into a
   donated grid, so each tier's compile profile is independent and the
   fine buckets stay compile-cheap (padding <=6%, was 15-17%);
-- no data-dependent gathers: within a width the bit positions of the 512
-  samples are compile-time constants (a block is always exactly 16*w words:
-  512*w/32), so unpacking is constant-index takes + shifts; block reassembly
+- no data-dependent gathers: within a width the bit positions of the BLOCK
+  samples are compile-time constants (a block is always exactly BLOCK*w/32
+  words), so unpacking is constant-index takes + shifts; block reassembly
   is one row scatter; the order-k integrator is k exclusive cumsums — all
   dense vector ops;
 - int32 words on the wire (measured ~2x faster than the same bytes as
@@ -64,7 +64,10 @@ def wire_codec_enabled(default="1"):
     return v.lower() not in ("0", "off", "false")
 
 
-BLOCK = 512  # samples per block; 512/32=16 -> a block is exactly 16*w words
+BLOCK = 256  # samples per block; a width-w block is exactly (BLOCK/32)*w words.
+# 256 measured 3.7% less wire than 512 on the bench batch (finer width
+# adaptation beats the extra per-block position word); 128 reverses it
+_WPB = BLOCK // 32  # words per block per bit of width
 # Tier palette: exact block widths 0..20 (an order<=3 zigzag residual of
 # int16 fits 20 bits; 32 is an unreachable defensive escape). Exact widths
 # became affordable when decode moved to one small program per tier (see
@@ -78,7 +81,7 @@ _WIDTHS = tuple(range(21)) + (32,)
 class EncodedPCM(NamedTuple):
     """Host-side encoded batch. `tiers` maps width -> (positions, words):
     positions int32 [n_padded] (block index into the [B*T/BLOCK] grid; pads
-    point one past the end), words int32 [n_padded, 16*w]."""
+    point one past the end), words int32 [n_padded, BLOCK//32*w]."""
 
     shape: tuple  # (B, T) original int16 shape, T % BLOCK == 0 after pad
     n_valid: int  # T before padding (per row)
@@ -106,11 +109,11 @@ def _residual(x: np.ndarray, order: int) -> np.ndarray:
 
 
 def _pack_words(z: np.ndarray, w: int) -> np.ndarray:
-    """[n, BLOCK] uint32 values (each < 2**w) -> [n, 16*w] int32 words,
+    """[n, BLOCK] uint32 values (each < 2**w) -> [n, _WPB*w] int32 words,
     MSB-first bitstream. np.packbits does the bit assembly in C; chunked to
     bound the transient bit matrix."""
     n = z.shape[0]
-    out = np.empty((n, 16 * w), np.uint32)
+    out = np.empty((n, _WPB * w), np.uint32)
     shifts = (w - 1 - np.arange(w)).astype(np.uint32)
     step = max(1, (1 << 26) // (BLOCK * w))  # ~64MB transient per chunk
     for i in range(0, n, step):
@@ -118,7 +121,7 @@ def _pack_words(z: np.ndarray, w: int) -> np.ndarray:
         bits = ((zi[:, :, None] >> shifts) & 1).astype(np.uint8)
         packed = np.packbits(bits.reshape(zi.shape[0], BLOCK * w), axis=-1)
         out[i : i + step] = (
-            packed.view(">u4").astype(np.uint32).reshape(zi.shape[0], 16 * w)
+            packed.view(">u4").astype(np.uint32).reshape(zi.shape[0], _WPB * w)
         )
     return out.view(np.int32)
 
@@ -169,7 +172,7 @@ def encode_pcm(x: np.ndarray, order: int = None) -> EncodedPCM:
         need[nz] = np.floor(np.log2(mx[nz].astype(np.float64))).astype(np.int32) + 1
         widths = np.asarray(_WIDTHS, np.int32)
         tier = widths[np.searchsorted(widths, need)]
-        total_words = int(sum((tier[tier == w].size * 16 * w) for w in _WIDTHS))
+        total_words = int(sum((tier[tier == w].size * _WPB * w) for w in _WIDTHS))
         return z, tier, total_words
 
     if order is None:
@@ -226,20 +229,20 @@ def _encode_native(lib, x, b, t, n_valid, order) -> EncodedPCM:
         positions = np.full(npad, n_blocks, np.int32)
         positions[:n_w] = idx
         segments[w] = (positions, flat_words, npad, idx)
-        flat_words += npad * 16 * w
+        flat_words += npad * _WPB * w
 
     flat = np.zeros(flat_words, np.uint32)  # pad rows stay zero
     dest = np.zeros(n_blocks, np.int64)
     for w in present:
         positions, start_word, npad, idx = segments[w]
         n_w = len(idx)
-        dest[idx] = start_word + np.arange(n_w, dtype=np.int64) * (16 * w)
+        dest[idx] = start_word + np.arange(n_w, dtype=np.int64) * (_WPB * w)
     lib.pack(x, b, t, order, np.ascontiguousarray(w_chosen), dest, flat)
 
     tiers = {}
     for w in present:
         positions, start_word, npad, _ = segments[w]
-        words = flat[start_word : start_word + npad * 16 * w].reshape(npad, 16 * w)
+        words = flat[start_word : start_word + npad * _WPB * w].reshape(npad, _WPB * w)
         tiers[w] = (positions, words.view(np.int32))
     return EncodedPCM((b, t), n_valid, order, tiers)
 
@@ -261,7 +264,7 @@ def _unpack_plan(w: int):
 
 
 def _unpack_words(words: jnp.ndarray, w: int) -> jnp.ndarray:
-    """[n, 16*w] int32 words -> [n, BLOCK] uint32 zigzag values (width w)."""
+    """[n, _WPB*w] int32 words -> [n, BLOCK] uint32 zigzag values (width w)."""
     wi, off = _unpack_plan(w)
     u = jax.lax.bitcast_convert_type(words, jnp.uint32)
     # append a zero word so wi+1 never reads out of bounds

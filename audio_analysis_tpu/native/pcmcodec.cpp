@@ -1,12 +1,12 @@
 // Native host encoder for the PCM wire codec (io/pcmcodec.py).
 //
-// The TPU-side decoder unpacks fixed-width zigzag residual blocks (512
+// The TPU-side decoder unpacks fixed-width zigzag residual blocks (kBlock
 // samples each); this file is the host half: compute order-1/2/3 linear
 // prediction residuals, pick the cheapest order, and bit-pack each block at
 // its own width. Pure numpy is ~100x too slow for this on the single-core
 // serving hosts (measured 6.5 s for a 46 MB batch; the wire it feeds moves
 // that batch in ~1 s), hence C++. The layout contract (MSB-first words,
-// 16*w words per block, zigzag, implicit-zero warmup so the decoder is a
+// (kBlock/32)*w words per block, zigzag, implicit-zero warmup so the decoder is a
 // plain cumsum^order) is shared with io/pcmcodec.py's numpy fallback and
 // pinned by tests/test_pcmcodec.py.
 //
@@ -28,7 +28,7 @@
 
 namespace {
 
-constexpr int64_t kBlock = 512;
+constexpr int64_t kBlock = 256;
 
 inline uint32_t zigzag(int32_t v) {
   return (static_cast<uint32_t>(v) << 1) ^ static_cast<uint32_t>(v >> 31);
@@ -83,7 +83,7 @@ inline void pack_block(const int16_t* x, int64_t row, int64_t s, int w,
 
 extern "C" {
 
-// Per-block widths for orders 0..3. x is [B, T] row-major int16, T % 512
+// Per-block widths for orders 0..3. x is [B, T] row-major int16, T % kBlock
 // == 0. widths_out is [4, n_blocks] (order-0 row first). Returns n_blocks.
 int64_t pcm_widths(const int16_t* x, int64_t B, int64_t T,
                    uint8_t* widths_out) {
@@ -135,7 +135,7 @@ int64_t pcm_widths(const int16_t* x, int64_t B, int64_t T,
 }
 
 // Pack residuals of `order` at per-block widths into words_out: block k's
-// 16*widths[k] MSB-first words start at word_offs[k] (prefix sums computed
+// (kBlock/32)*widths[k] MSB-first words start at word_offs[k] (prefix sums computed
 // by the caller). Returns 0.
 int64_t pcm_pack(const int16_t* x, int64_t B, int64_t T, int32_t order,
                  const uint8_t* widths, const int64_t* word_offs,

@@ -161,9 +161,11 @@ class BatchAnalyzer:
             and _wire_codec_enabled()
         )
         if use_codec:
-            # the wire codec works on 512-sample blocks; a slightly larger
+            # the wire codec works on BLOCK-sample blocks; a slightly larger
             # bucket is invisible downstream (n_valid masks everything)
-            t_bucket = -(-t_bucket // 512) * 512
+            from audio_analysis_tpu.io.pcmcodec import BLOCK as _PCM_BLOCK
+
+            t_bucket = -(-t_bucket // _PCM_BLOCK) * _PCM_BLOCK
         dtype = np.int16 if all_i16 else np.float32
         stacked = np.zeros((B, t_bucket), dtype)
         n_valid = np.zeros(B, np.int32)

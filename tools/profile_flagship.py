@@ -32,7 +32,9 @@ def _force(x):
     return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
 
 
-def _time(fn, args, reps=8, warm=2):
+def _time(fn, args, reps=32, warm=2):
+    # reps>=32: each measurement window carries a ~3.7 ms dispatch+sync
+    # floor over the tunnel; at reps=8 it inflates per-call time ~25%
     for _ in range(warm):
         out = fn(*args)
     _force(out)
