@@ -157,9 +157,10 @@ MAX_FRAMES_PER_WINDOW = 320
 
 
 @lru_cache(maxsize=8)
-def _dif_consts(n_fft: int, window: str, bins_used: int):
+def _dif_consts(n_fft: int, window: str, bins_used: int, exact: bool = False):
     """Constants for the DIF kernel: window row, per-level twiddle pairs,
-    leaf DFT matrices (bf16), and the leaf-permuted layout parameters."""
+    leaf DFT matrices (bf16; f32 when ``exact``), and the leaf-permuted
+    layout parameters."""
     m3 = n_fft // 8
     nb = -(-bins_used // 8)  # bins per leaf
     bl = max(128, -(-nb // 128) * 128)  # padded to a lane tile
@@ -177,9 +178,29 @@ def _dif_consts(n_fft: int, window: str, bins_used: int):
     n = np.arange(m3)
     j = np.arange(bl)
     ang = 2.0 * np.pi * np.outer(n, j) / m3
-    leaf_c = np.cos(ang).astype(jnp.bfloat16)
-    leaf_s = np.sin(ang).astype(jnp.bfloat16)
+    if exact:
+        # n-way bf16 split stacks, packed [n, m3, bl]: operand = sum(parts)
+        # with each residual 2^-9 of the previous — the kernel's split
+        # matmuls recover ~f32 products from bf16 MXU passes
+        n_split = 2 if int(exact) == 1 else 3
+        leaf_c = _split_pack(np.cos(ang).astype(np.float32), n_split)
+        leaf_s = _split_pack(np.sin(ang).astype(np.float32), n_split)
+    else:
+        leaf_c = np.cos(ang).astype(jnp.bfloat16)
+        leaf_s = np.sin(ang).astype(jnp.bfloat16)
     return w, tw1, tw2, tw3, leaf_c, leaf_s, bl
+
+
+def _split_pack(a: np.ndarray, n: int = 2) -> np.ndarray:
+    """f32 [K, N] -> bf16 [n, K, N] residual split: a ~= sum_i parts[i] with
+    |a - sum| <= 2^-9n |a| — the representation error of the split-matmul
+    scheme."""
+    parts, rem = [], a.astype(np.float32)
+    for _ in range(n):
+        hi = rem.astype(jnp.bfloat16)
+        parts.append(hi)
+        rem = rem - hi.astype(np.float32)
+    return np.stack(parts)
 
 
 # residue class of each leaf in tree-emit order (sum-before-twiddle at every
@@ -188,7 +209,7 @@ _LEAF_OFF = (0, 4, 2, 6, 1, 5, 3, 7)
 
 
 @lru_cache(maxsize=16)
-def _mel_mat_dif(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bl):
+def _mel_mat_dif(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bl, exact=False):
     """[8*bl, n_mels] leaf-permuted mel matrix: row (b, j) carries the mel
     weights of bin 8j + _LEAF_OFF[b] (zero rows for j past the support)."""
     fb = _fb_np(sr, n_mels, fmin, fmax, n_fft, break_freq, htk)  # [m, bins]
@@ -197,6 +218,8 @@ def _mel_mat_dif(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bl):
         k = off + 8 * np.arange(bl)
         valid = k < fb.shape[1]
         out[b * bl : b * bl + int(valid.sum())] = fb.T[k[valid]]
+    if exact:
+        return _split_pack(out, 2 if int(exact) == 1 else 3)
     return out.astype(jnp.bfloat16)
 
 
@@ -208,7 +231,7 @@ def _dot(a, b):
 
 def _kernel_dif(
     z_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, mel_ref, out_ref,
-    *, power, n_fft, hop, k, bl, n_mels,
+    *, power, n_fft, hop, k, bl, n_mels, exact=False,
 ):
     f32 = jnp.float32
     # Framing happens HERE, in VMEM: the input block is one window's padded
@@ -260,8 +283,61 @@ def _kernel_dif(
             split_r(r, q3, c3, s3) if i is None else split_c(r, i, q3, c3, s3)
         )
 
-    C, S = c_ref[:], s_ref[:]
     bf16 = jnp.bfloat16
+    if exact:
+        # f32-accurate matmuls from bf16 MXU passes: operands split into n
+        # bf16 residual parts (constants pre-split on host, activations
+        # split here) and the cross products with i+j < n are summed
+        # smallest-first — representation error ~2^-9n relative. Explicit
+        # because Mosaic ignores lax.Precision on f32 dots (measured 6e-3
+        # max rel = one bf16 pass). bf16*bf16 -> f32 products are exact.
+        n = c_ref.shape[0]
+
+        def split(a):
+            parts, rem = [], a
+            for _ in range(n - 1):
+                hi = rem.astype(bf16)
+                parts.append(hi)
+                rem = rem - hi.astype(f32)
+            parts.append(rem.astype(bf16))
+            return parts
+
+        # term order (i, j) with i+j < n, largest i+j first
+        order = sorted(
+            ((i, j) for i in range(n) for j in range(n) if i + j < n),
+            key=lambda t: -(t[0] + t[1]),
+        )
+
+        def dotx(parts, b_ref, row0=0, row1=None):
+            acc = None
+            for i, j in order:
+                bj = b_ref[j] if row1 is None else b_ref[j, row0:row1, :]
+                t = _dot(parts[i], bj)
+                acc = t if acc is None else acc + t
+            return acc
+
+        def dot_cs(a):
+            parts = split(a)
+            return dotx(parts, c_ref), dotx(parts, s_ref)
+
+        acc = jnp.zeros(out_ref.shape, f32)
+        for b, (r, i) in enumerate(leaves):
+            rc, rs = dot_cs(r)
+            if i is None:
+                xr, xi = rc, -rs
+            else:
+                ic, is_ = dot_cs(i)
+                xr, xi = rc + is_, ic - rs
+            p = xr * xr + xi * xi
+            if power == 1.0:
+                p = jnp.sqrt(p)
+            elif power != 2.0:
+                p = jnp.power(p, power / 2.0)
+            acc = acc + dotx(split(p), mel_ref, b * bl, (b + 1) * bl)
+        out_ref[:] = acc
+        return
+
+    C, S = c_ref[:], s_ref[:]
     acc = jnp.zeros(out_ref.shape, f32)
     for b, (r, i) in enumerate(leaves):
         rb = r.astype(bf16)
@@ -308,11 +384,13 @@ def z_layout(n_fft: int, hop_length: int, n_samples: int):
 
 @partial(
     jax.jit,
-    static_argnames=("hop_length", "n_fft", "power", "n_samples", "interpret"),
+    static_argnames=(
+        "hop_length", "n_fft", "power", "n_samples", "interpret", "exact"
+    ),
 )
 def _melspec_core_dif(
     windows, w, tw1, tw2, tw3, leaf_c, leaf_s, meld, *, hop_length, n_fft, power,
-    n_samples=None, interpret=False
+    n_samples=None, interpret=False, exact=False
 ):
     n = windows.shape[0]
     s = int(n_samples) if n_samples is not None else windows.shape[1]
@@ -322,6 +400,7 @@ def _melspec_core_dif(
     # bf16 (1x the PCM bytes — the bf16 rounding of the PCM is the kernel's
     # existing numerics contract) and the 6.4x-amplified frame matrix only
     # ever exists in VMEM, assembled by the kernel.
+    z_dtype = jnp.float32 if exact else jnp.bfloat16
     if n_samples is not None:
         # caller pre-built the z layout (pad n_fft//2 | window | zero tail),
         # usually emitting it straight out of its own gather — the reshape
@@ -331,14 +410,14 @@ def _melspec_core_dif(
                 f"windows_is_z: expected {rows_p * hop_length} samples/row, "
                 f"got {windows.shape[1]}"
             )
-        z = windows.astype(jnp.bfloat16).reshape(n, rows_p, hop_length)
+        z = windows.astype(z_dtype).reshape(n, rows_p, hop_length)
     else:
         z = jnp.pad(
             windows, ((0, 0), (n_fft // 2, rows_p * hop_length - s - n_fft // 2))
-        ).astype(jnp.bfloat16).reshape(n, rows_p, hop_length)
+        ).astype(z_dtype).reshape(n, rows_p, hop_length)
 
-    bl = leaf_c.shape[1]
-    n_mels = meld.shape[1]
+    bl = leaf_c.shape[-1]
+    n_mels = meld.shape[-1]
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
@@ -346,6 +425,7 @@ def _melspec_core_dif(
         partial(
             _kernel_dif,
             power=power, n_fft=n_fft, hop=hop_length, k=k, bl=bl, n_mels=n_mels,
+            exact=exact,
         ),
         grid=(n,),
         in_specs=[
@@ -356,8 +436,9 @@ def _melspec_core_dif(
         out_specs=pl.BlockSpec((fp, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * fp, n_mels), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * n * fp * n_fft * bl + 2 * n * fp * 8 * bl * n_mels,
-            bytes_accessed=n * rows_p * hop_length * 2,
+            flops=(3 if exact else 1)
+            * (4 * n * fp * n_fft * bl + 2 * n * fp * 8 * bl * n_mels),
+            bytes_accessed=n * rows_p * hop_length * (4 if exact else 2),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -373,13 +454,13 @@ def _melspec_core_dif(
 _DEVICE_WEIGHTS = {}
 
 
-def _device_weights_dif(sr, n_fft, n_mels, fmin, fmax, break_freq, htk, window):
-    key = ("dif", sr, n_fft, n_mels, fmin, fmax, break_freq, htk, window)
+def _device_weights_dif(sr, n_fft, n_mels, fmin, fmax, break_freq, htk, window, exact=False):
+    key = ("dif", sr, n_fft, n_mels, fmin, fmax, break_freq, htk, window, exact)
     got = _DEVICE_WEIGHTS.get(key)
     if got is None:
         bins_used = mel_support_bins(sr, n_mels, fmin, fmax, n_fft, break_freq, htk)
-        w, tw1, tw2, tw3, leaf_c, leaf_s, bl = _dif_consts(n_fft, window, bins_used)
-        meld = _mel_mat_dif(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bl)
+        w, tw1, tw2, tw3, leaf_c, leaf_s, bl = _dif_consts(n_fft, window, bins_used, exact)
+        meld = _mel_mat_dif(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bl, exact)
         with jax.ensure_compile_time_eval():
             got = tuple(jnp.asarray(a) for a in (w, tw1, tw2, tw3, leaf_c, leaf_s, meld))
         _DEVICE_WEIGHTS[key] = got
@@ -473,13 +554,25 @@ def pallas_mel_spectrogram(
     windows_is_z: bool = False,
     n_samples: int = None,
     interpret: bool = False,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """[N, S] PCM windows -> [N, n_mels, F] mel spectrograms
     (librosa STFT conventions: centre/constant padding).
 
     ``windows_is_z=True``: the input is already in the framed-DIF kernel's
     flat z layout (see ``z_layout``; requires ``n_samples`` for the true
-    window length) — the pad/cast/reshape pass is skipped entirely."""
+    window length) — the pad/cast/reshape pass is skipped entirely.
+
+    ``exact`` (0/1/2): split-bf16 matmuls — every operand is decomposed into
+    ``exact+1`` bf16 residual parts and the cross products recombined in
+    f32, recovering near-f32 dots from bf16 MXU passes (Mosaic runs plain
+    f32 dots as ONE bf16 pass regardless of lax.Precision — measured).
+    Measured on chip vs a float64 oracle (256 3s windows, n_fft 4096):
+    exact=1 4.8e-5 max rel @6.9 ms, exact=2 1.5e-6 @11.4 ms — vs the XLA
+    FFT+einsum path's 5.2e-3 @43.3 ms (XLA's own mel einsum is a single
+    bf16 pass) and this kernel's fast contract at 2.6e-2 @3.2 ms. Input z
+    storage is f32 in exact mode (bf16-rounded input IS most of fast's
+    error). DIF path only."""
     if windows_is_z:
         if n_samples is None or z_layout(int(n_fft), int(hop_length), int(n_samples)) is None:
             raise ValueError(
@@ -487,22 +580,30 @@ def pallas_mel_spectrogram(
                 "(n_fft, hop, length) combination — gate on z_layout(...)"
             )
         consts = _device_weights_dif(
-            int(sr), int(n_fft), int(n_mels), float(fmin), float(fmax), float(break_freq), bool(htk), window
+            int(sr), int(n_fft), int(n_mels), float(fmin), float(fmax), float(break_freq), bool(htk), window,
+            exact=int(exact),
         )
         return _melspec_core_dif(
             windows, *consts,
             hop_length=int(hop_length), n_fft=int(n_fft), power=float(power),
-            n_samples=int(n_samples), interpret=interpret,
+            n_samples=int(n_samples), interpret=interpret, exact=int(exact),
         )
     f = 1 + windows.shape[-1] // int(hop_length)
     if _use_dif(int(n_fft)) and f <= MAX_FRAMES_PER_WINDOW:
         consts = _device_weights_dif(
-            int(sr), int(n_fft), int(n_mels), float(fmin), float(fmax), float(break_freq), bool(htk), window
+            int(sr), int(n_fft), int(n_mels), float(fmin), float(fmax), float(break_freq), bool(htk), window,
+            exact=int(exact),
         )
         return _melspec_core_dif(
             windows, *consts,
             hop_length=int(hop_length), n_fft=int(n_fft), power=float(power),
-            interpret=interpret,
+            interpret=interpret, exact=int(exact),
+        )
+    if exact:
+        raise ValueError(
+            "exact=True requires the framed-DIF kernel (n_fft % 8 == 0 and "
+            f"<= {MAX_FRAMES_PER_WINDOW} frames/window) — use the XLA FFT "
+            "path for this shape instead"
         )
     wr, wi, melm, _ = _device_weights(
         int(sr), int(n_fft), int(n_mels), float(fmin), float(fmax), float(break_freq), bool(htk), window

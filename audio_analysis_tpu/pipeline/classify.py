@@ -85,7 +85,7 @@ def _fused_group_program(
     key = (
         tuple(id(m) for m in models),  # models are cached per path: stable
         bool(is_efficientnet),
-        bool(use_pallas),
+        int(use_pallas),
         zlay,
         # content key for the mesh (id() keys once caused a
         # recompile-per-recording regression — see CLAUDE.md)
@@ -177,7 +177,10 @@ def _fused_group_program(
                     )
                     w = w / mx + 0.000001
                     w = (w - 0.5) * 2.0
-                return None, jnp.where(region, w, 0.0).astype(jnp.bfloat16)
+                # the kernel consumes bf16 z on the fast level; exact levels
+                # keep f32 all the way (bf16-rounded input IS fast's error)
+                z_dt = jnp.bfloat16 if use_pallas == 1 else jnp.float32
+                return None, jnp.where(region, w, 0.0).astype(z_dt)
 
             _, grid = jax.lax.scan(
                 slice_z,

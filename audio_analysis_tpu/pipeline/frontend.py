@@ -33,34 +33,65 @@ def _pallas_backend() -> bool:
         return False
 
 
-def _use_pallas_default() -> bool:
-    """Pallas DFT->mel kernel opt-in (AAT_PALLAS=1, or the AAT_FAST=1
-    throughput preset). The XLA FFT path stays the default for PARITY: the
-    Pallas path is faster on the chip because it never materialises the
-    [N, 2049, T] magnitude array in HBM, but its DFT matmuls run as bf16 MXU
-    passes — ~1% relative on magnitudes, up to ~0.15 dB on dB-scaled
-    features (measured on chip; the full e2e batch JSON was byte-identical).
-    An explicit AAT_PALLAS=0 wins over AAT_FAST; on a non-TPU backend the
-    knob degrades to the XLA path with a one-time warning instead of a
-    Mosaic compile error."""
+# Frontend kernel levels (the resolved value of AAT_PALLAS):
+#   0 — XLA FFT + mel einsum
+#   1 — Pallas DFT->mel, bf16 MXU passes (the AAT_FAST throughput contract)
+#   2 — Pallas DFT->mel, 2-way split-bf16 matmuls (~5e-5 max rel vs f64)
+#   3 — Pallas DFT->mel, 3-way split-bf16 matmuls (~1.5e-6 max rel vs f64)
+PALLAS_OFF, PALLAS_FAST, PALLAS_EXACT1, PALLAS_EXACT2 = 0, 1, 2, 3
+
+_PALLAS_LEVELS = {
+    "exact": PALLAS_EXACT2,
+    "exact2": PALLAS_EXACT2,
+    "exact1": PALLAS_EXACT1,
+    "2": PALLAS_EXACT1,
+    "3": PALLAS_EXACT2,
+}
+
+
+def _use_pallas_default() -> int:
+    """Resolve the frontend kernel level (see PALLAS_* above).
+
+    Default on the TPU backend is PALLAS_EXACT2 — measured on chip against a
+    float64 oracle, the split-bf16 Pallas kernel is BOTH more accurate and
+    faster than the XLA path it replaced (XLA's f32 mel einsum runs a single
+    bf16 MXU pass despite preferred_element_type: 5.2e-3 max rel @43 ms/256w
+    vs exact2's 1.5e-6 @11.4 ms — docs/PERFORMANCE.md "Split-bf16 exact
+    mode"). So "strict parity" is now better served by the Pallas kernel.
+
+    AAT_PALLAS=exact[12]?/1/0 picks a level explicitly (0 wins over
+    AAT_FAST; AAT_FAST=1 means level 1, the bf16 throughput contract). On a
+    non-TPU backend every level degrades to the XLA path, with a one-time
+    warning only when a level was explicitly requested."""
     from audio_analysis_tpu.utils.runtime import env_flag, fast_mode
 
-    v = env_flag("AAT_PALLAS")
-    if v is None:
-        v = fast_mode()
+    raw = os.environ.get("AAT_PALLAS", "").strip().lower()
+    explicit = True
+    if raw in _PALLAS_LEVELS:
+        v = _PALLAS_LEVELS[raw]
+    else:
+        b = env_flag("AAT_PALLAS")
+        if b is not None:
+            v = PALLAS_FAST if b else PALLAS_OFF
+        elif fast_mode():
+            v = PALLAS_FAST
+        else:
+            explicit = False
+            v = PALLAS_EXACT2  # parity-grade default (TPU only, see below)
     if v and not _pallas_backend():
-        global _WARNED_NO_PALLAS
-        if not _WARNED_NO_PALLAS:
-            _WARNED_NO_PALLAS = True
-            import logging
+        if explicit:
+            global _WARNED_NO_PALLAS
+            if not _WARNED_NO_PALLAS:
+                _WARNED_NO_PALLAS = True
+                import logging
 
-            logging.warning(
-                "AAT_PALLAS/AAT_FAST requested but the %s backend cannot run "
-                "the Mosaic kernel; using the XLA FFT frontend",
-                __import__("jax").default_backend(),
-            )
-        return False
-    return bool(v)
+                logging.warning(
+                    "AAT_PALLAS/AAT_FAST requested but the %s backend cannot "
+                    "run the Mosaic kernel; using the XLA FFT frontend",
+                    __import__("jax").default_backend(),
+                )
+        return PALLAS_OFF
+    return int(v)
 
 
 def spectrogram_grid(windows, *, use_pallas=None, **kw):
@@ -76,7 +107,7 @@ def spectrogram_grid(windows, *, use_pallas=None, **kw):
     first trace's kernel choice on the non-fused paths."""
     if use_pallas is None:
         use_pallas = _use_pallas_default()
-    return _spectrogram_grid_impl(windows, use_pallas=bool(use_pallas), **kw)
+    return _spectrogram_grid_impl(windows, use_pallas=int(use_pallas), **kw)
 
 
 @partial(
@@ -118,10 +149,22 @@ def _spectrogram_grid_impl(
     mean_sub: bool = False,
     use_mfcc: bool = False,
     channels: int = 1,
-    use_pallas: bool = False,
+    use_pallas: int = 0,
     windows_is_z: bool = False,
     n_samples: int = None,
 ) -> jnp.ndarray:
+    # exact levels need the framed-DIF kernel; on shapes it cannot take,
+    # they fall back to the XLA path (NOT to the bf16 kernel — an exact
+    # level is an accuracy request, and XLA is the next-most-accurate)
+    if use_pallas >= PALLAS_EXACT1 and not windows_is_z:
+        from audio_analysis_tpu.ops.pallas.melspec import (
+            MAX_FRAMES_PER_WINDOW, _use_dif,
+        )
+
+        frames = 1 + windows.shape[-1] // int(hop_length)
+        if not (_use_dif(int(n_fft)) and frames <= MAX_FRAMES_PER_WINDOW):
+            use_pallas = PALLAS_OFF
+    exact = max(0, int(use_pallas) - 1)
     if windows_is_z:
         # the caller's gather emitted the framed-DIF kernel's z layout
         # directly, with masking AND min-max normalisation already applied
@@ -142,7 +185,7 @@ def _spectrogram_grid_impl(
                 windows, sr=sr, n_fft=n_fft, hop_length=hop_length,
                 n_mels=n_mels, fmin=f_lo, fmax=f_hi, break_freq=mel_break,
                 power=power, htk=True,
-                windows_is_z=windows_is_z, n_samples=n_samples,
+                windows_is_z=windows_is_z, n_samples=n_samples, exact=exact,
             )
         else:
             from audio_analysis_tpu.ops.pallas.melspec import mel_support_bins
@@ -166,7 +209,7 @@ def _spectrogram_grid_impl(
             mel = pallas_mel_spectrogram(
                 windows, sr=sr, n_fft=n_fft, hop_length=hop_length,
                 n_mels=n_mels, fmin=50.0, fmax=11000.0, power=2.0, htk=False,
-                windows_is_z=windows_is_z, n_samples=n_samples,
+                windows_is_z=windows_is_z, n_samples=n_samples, exact=exact,
             )
         else:
             from audio_analysis_tpu.ops.pallas.melspec import mel_support_bins

@@ -200,10 +200,11 @@ _PARITY_ENV = dict(AAT_FAST=None, AAT_PALLAS=None, AAT_KERAS_BF16=None)
 def bench_mfu(effnet_dir, sr=48000):
     """Windows/s + MFU of the fused gather->frontend->EfficientNetB0->means
     program on a dense 256-window grid, INTERLEAVED A/B between the
-    parity-strict mode (f32 + XLA FFT) and AAT_FAST (bf16 + Pallas mel) —
-    alternating measured windows so the tunnel/host noise hits both modes
-    equally (the round-2 bf16 contradiction came from non-interleaved runs).
-    """
+    parity-strict mode (f32 compute; split-bf16 exact-Pallas frontend — the
+    TPU default, measured MORE accurate than the XLA FFT+einsum it replaced)
+    and AAT_FAST (bf16 + Pallas mel) — alternating measured windows so the
+    tunnel/host noise hits both modes equally (the round-2 bf16
+    contradiction came from non-interleaved runs)."""
     import os
     import jax
     import jax.numpy as jnp

@@ -25,14 +25,15 @@ def test_fast_mode_controls_pallas_default(monkeypatch):
     monkeypatch.setattr(fe, "_pallas_backend", lambda: True)
     monkeypatch.delenv("AAT_PALLAS", raising=False)
     monkeypatch.delenv("AAT_FAST", raising=False)
-    assert _use_pallas_default() is False
+    # no knobs: the split-bf16 exact kernel is the TPU parity default
+    assert _use_pallas_default() == fe.PALLAS_EXACT2
     monkeypatch.setenv("AAT_FAST", "1")
-    assert _use_pallas_default() is True
+    assert _use_pallas_default() == fe.PALLAS_FAST
     monkeypatch.setenv("AAT_PALLAS", "0")  # explicit knob beats the preset
-    assert _use_pallas_default() is False
+    assert _use_pallas_default() == fe.PALLAS_OFF
     monkeypatch.delenv("AAT_FAST", raising=False)
     monkeypatch.setenv("AAT_PALLAS", "1")
-    assert _use_pallas_default() is True
+    assert _use_pallas_default() == fe.PALLAS_FAST
 
 
 def test_pallas_knob_degrades_on_cpu_backend(monkeypatch):
@@ -43,7 +44,7 @@ def test_pallas_knob_degrades_on_cpu_backend(monkeypatch):
     monkeypatch.setenv("AAT_FAST", "1")
     monkeypatch.delenv("AAT_PALLAS", raising=False)
     monkeypatch.setattr(fe, "_WARNED_NO_PALLAS", False)
-    assert _use_pallas_default() is False  # conftest forces the cpu backend
+    assert _use_pallas_default() == fe.PALLAS_OFF  # conftest forces cpu
 
     import numpy as np
 

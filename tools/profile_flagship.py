@@ -93,9 +93,15 @@ def main():
     results = {}
 
     # -- full fused program, f32 and bf16 ----------------------------------
-    prog = _fused_group_program([model], cfg, sr, sample, 32)
+    with _env(AAT_PALLAS="0"):  # the old XLA-FFT parity composition
+        prog = _fused_group_program([model], cfg, sr, sample, 32)
     results["fused_f32"] = _time(prog, fused_args)
-    prog16 = _fused_group_program([model_bf16], cfg, sr, sample, 32)
+    # current parity default: exact-Pallas frontend + f32 model
+    with _env(AAT_PALLAS="exact"):
+        prog_exact = _fused_group_program([model], cfg, sr, sample, 32)
+    results["fused_parity_exact"] = _time(prog_exact, fused_args)
+    with _env(AAT_PALLAS="0"):
+        prog16 = _fused_group_program([model_bf16], cfg, sr, sample, 32)
     results["fused_bf16"] = _time(prog16, fused_args)
     # the AAT_FAST composition: Pallas DFT->mel frontend + bf16 model
     # (use_pallas is resolved and cache-keyed at program build)
@@ -130,12 +136,18 @@ def main():
     results["frontend_xla"] = _time(
         lambda g: spectrogram_grid(g, use_pallas=False, **fe_kw), (grid,)
     )
-    try:
-        results["frontend_pallas"] = _time(
-            lambda g: spectrogram_grid(g, use_pallas=True, **fe_kw), (grid,)
-        )
-    except Exception as e:
-        results["frontend_pallas"] = f"error: {type(e).__name__}"
+    for name, lvl in (
+        ("frontend_pallas", 1),
+        ("frontend_pallas_exact1", 2),
+        ("frontend_pallas_exact2", 3),
+    ):
+        try:
+            results[name] = _time(
+                lambda g, lvl=lvl: spectrogram_grid(g, use_pallas=lvl, **fe_kw),
+                (grid,),
+            )
+        except Exception as e:
+            results[name] = f"error: {type(e).__name__}"
 
     feats = spectrogram_grid(grid, use_pallas=False, **fe_kw)
     feats3 = jnp.repeat(feats, 3, axis=-1)
