@@ -17,8 +17,8 @@ from audio_analysis_tpu.ops.windows import get_window_np
 SR, NFFT, HOP, NMELS, FMIN, FMAX, BREAK = 16000, 512, 160, 40, 50, 7000, 1750.0
 
 
-def _f64_oracle(wins):
-    """Centre-padded STFT -> |.|^2 -> mel matmul, all float64 on host."""
+def _f64_oracle(wins, power=2.0):
+    """Centre-padded STFT -> |.|^power -> mel matmul, all float64 on host."""
     win = get_window_np("hann", NFFT, periodic=True).astype(np.float64)
     fb = _fb_np(SR, NMELS, FMIN, FMAX, NFFT, BREAK, True).astype(np.float64)
     out = []
@@ -27,7 +27,7 @@ def _f64_oracle(wins):
         nf = 1 + (len(x) - NFFT) // HOP
         frames = np.stack([x[i * HOP : i * HOP + NFFT] for i in range(nf)])
         spec = np.fft.rfft(frames * win, axis=-1)
-        out.append(fb @ (np.abs(spec.T) ** 2))
+        out.append(fb @ (np.abs(spec.T) ** power))
     return np.stack(out)
 
 
@@ -36,14 +36,16 @@ def _max_rel(got, gt):
     return (np.abs(got[..., : gt.shape[-1]] - gt) / den).max()
 
 
-def test_exact_levels_accuracy_ladder(rng):
+@pytest.mark.parametrize("power", [1.0, 2.0])
+def test_exact_levels_accuracy_ladder(rng, power):
     """Each split level must land in its documented error band, and the
-    ladder must be strictly ordered: exact2 < exact1 < fast."""
+    ladder must be strictly ordered: exact2 < exact1 < fast. power=1 also
+    exercises the kernel's in-VMEM sqrt epilogue at exact levels."""
     wins = rng.randn(2, 4000).astype(np.float32)
-    gt = _f64_oracle(wins)
+    gt = _f64_oracle(wins, power)
     kw = dict(
         sr=SR, n_fft=NFFT, hop_length=HOP, n_mels=NMELS,
-        fmin=FMIN, fmax=FMAX, break_freq=BREAK, power=2.0, interpret=True,
+        fmin=FMIN, fmax=FMAX, break_freq=BREAK, power=power, interpret=True,
     )
     errs = {
         lvl: _max_rel(
@@ -172,3 +174,24 @@ def test_z_gather_classify_exact_matches_plain(tmp_path, monkeypatch):
     sa = json.dumps([t.get_meta() for t in a[0]]) + json.dumps(a[1:3], default=str)
     sb = json.dumps([t.get_meta() for t in b[0]]) + json.dumps(b[1:3], default=str)
     assert sa == sb
+
+
+@pytest.mark.slow
+def test_verify_frontend_precision_tool_offline():
+    """The precision-verification tool must run end-to-end in interpret
+    mode (its TPU mode is the chip evidence behind docs/PERFORMANCE.md)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [_sys.executable, str(repo / "tools" / "verify_frontend_precision.py"),
+         "--interpret", "--json", "--windows", "2"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["pallas_exact2"]["max_rel"] < 1e-5
+    assert rep["pallas_fast"]["max_rel"] < 0.1
