@@ -99,15 +99,42 @@ class BatchAnalyzer:
         """Pipelined serving: yields result lists per batch, dispatching the
         next batch's upload + detection while the current batch's host work
         (CCL, track merge, post) runs — JAX dispatch is async, so device and
-        host overlap with no extra machinery."""
-        prev = None
-        for batch in batches:
-            handle = self._dispatch(batch, sr)
+        host overlap with no extra machinery.
+
+        AAT_ASYNC_UPLOAD=1 additionally moves each batch's encode + wire
+        transfer onto a background thread, so the NEXT batch's upload (the
+        tunnel wire is the serving bottleneck) overlaps the current batch's
+        host CCL/post AND its inference dispatch, instead of only the device
+        queue. Results are bit-identical — the thread only reorders when the
+        wire is busy, never what is computed (single worker preserves batch
+        order). Forced off under multi-host: _dispatch runs collectives
+        whose cross-process ordering must match _finish's."""
+        from audio_analysis_tpu.utils.runtime import env_flag
+
+        use_async = bool(env_flag("AAT_ASYNC_UPLOAD")) and not self._multihost
+        if not use_async:
+            prev = None
+            for batch in batches:
+                handle = self._dispatch(batch, sr)
+                if prev is not None:
+                    yield self._finish(prev)
+                prev = handle
             if prev is not None:
                 yield self._finish(prev)
-            prev = handle
-        if prev is not None:
-            yield self._finish(prev)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            prev = None
+            for batch in batches:
+                fut = ex.submit(self._dispatch, batch, sr)
+                if prev is not None:
+                    # prev's upload ran while the batch BEFORE it finished;
+                    # .result() only blocks if the wire is still busy
+                    yield self._finish(prev.result())
+                prev = fut
+            if prev is not None:
+                yield self._finish(prev.result())
 
     # -- two-phase internals --------------------------------------------------
 

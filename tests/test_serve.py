@@ -120,6 +120,29 @@ def test_stream_matches_batch(model_dir):
             assert len(s["species_identify"]) == len(d["species_identify"])
 
 
+def test_stream_async_upload_matches_sync(model_dir, monkeypatch):
+    """AAT_ASYNC_UPLOAD=1 (background-thread dispatch) must yield the exact
+    results of the synchronous stream — the thread only overlaps the wire
+    wait with host work, never changes what is computed."""
+    recs_a = [_rec(10), _rec(11)]
+    recs_b = [_rec(12)]
+    recs_c = [_rec(13)]
+    analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    sync = list(analyzer.analyse_stream([recs_a, recs_b, recs_c]))
+    monkeypatch.setenv("AAT_ASYNC_UPLOAD", "1")
+    asyn = list(analyzer.analyse_stream([recs_a, recs_b, recs_c]))
+    assert len(sync) == len(asyn) == 3
+    import json
+
+    for s_batch, a_batch in zip(sync, asyn):
+        for s, a in zip(s_batch, a_batch):
+            s = {k: v for k, v in s.items() if k != "processing_time_seconds"}
+            a = {k: v for k, v in a.items() if k != "processing_time_seconds"}
+            assert json.dumps(s, sort_keys=True, default=str) == json.dumps(
+                a, sort_keys=True, default=str
+            )
+
+
 def test_batch_int16_matches_float(model_dir):
     y = _rec(20)
     y16 = np.clip(y * 32768.0, -32768, 32767).astype(np.int16)
