@@ -121,13 +121,14 @@ def test_stream_matches_batch(model_dir):
 
 
 def test_stream_async_upload_matches_sync(model_dir, monkeypatch):
-    """AAT_ASYNC_UPLOAD=1 (background-thread dispatch) must yield the exact
-    results of the synchronous stream — the thread only overlaps the wire
-    wait with host work, never changes what is computed."""
+    """AAT_ASYNC_UPLOAD=1 (background-thread dispatch — the default) must
+    yield the exact results of the synchronous stream (=0) — the thread only
+    overlaps the wire wait with host work, never changes what is computed."""
     recs_a = [_rec(10), _rec(11)]
     recs_b = [_rec(12)]
     recs_c = [_rec(13)]
     analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    monkeypatch.setenv("AAT_ASYNC_UPLOAD", "0")
     sync = list(analyzer.analyse_stream([recs_a, recs_b, recs_c]))
     monkeypatch.setenv("AAT_ASYNC_UPLOAD", "1")
     asyn = list(analyzer.analyse_stream([recs_a, recs_b, recs_c]))
