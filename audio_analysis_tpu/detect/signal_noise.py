@@ -265,21 +265,17 @@ def _stats_from_mask_outputs(mask_out, width):
     return connected_components_with_stats_packed(np.asarray(packed), width)
 
 
-def _fused_detect_core(frames, n_valid, *, sr, hop_length, n_fft):
-    """End-scan + signal mask in ONE device program (one host round trip —
-    RPC latency to the tunnel TPU dominates small dispatches).
+def _fused_detect_core(frames, n_valid, mx, mn, *, sr, hop_length, n_fft):
+    """End-scan decision + signal mask in ONE device program (one host round
+    trip — RPC latency to the tunnel TPU dominates small dispatches).
 
-    Returns (flat_found int32, flat_sec int32, packed_mask uint8). The mask
-    is computed against the end-scan's detected data end, exactly like the
-    host two-step (classify truncates to get_end's length,
-    reference src/identify_tracks.py:419-420).
-
-    `frames` may be int16 PCM (uploads at half the bytes over the tunnel);
-    conversion to float32/32768 on device is bit-identical to the reference's
-    16-bit decode path.
+    Takes the per-chunk flatness (max, min) precomputed batch-wide by
+    `_batch_chunk_flatness` (outside the vmap so the Pallas end-scan kernel
+    sees one flat grid). Returns (flat_found int32, flat_sec int32,
+    packed_mask uint8). The mask is computed against the end-scan's detected
+    data end, exactly like the host two-step (classify truncates to
+    get_end's length, reference src/identify_tracks.py:419-420).
     """
-    frames = _to_float(frames)
-    mx, mn = _chunk_flatness(frames, sr=sr, hop_length=hop_length)
     chunk = sr // hop_length
     n_frames_valid = 1 + n_valid // hop_length
     k = jnp.arange(mx.shape[0])
@@ -295,18 +291,25 @@ def _fused_detect_core(frames, n_valid, *, sr, hop_length, n_fft):
     return found.astype(jnp.int32), flat_sec.astype(jnp.int32), packed
 
 
-_fused_detect_program = partial(
-    jax.jit, static_argnames=("sr", "hop_length", "n_fft")
-)(_fused_detect_core)
-
-
-@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft"))
-def _fused_detect_batch_program(frames, n_valid, *, sr, hop_length, n_fft):
-    """Batch-of-recordings detection: vmap of the fused core over [B, T]
-    recordings; one dispatch for the whole batch."""
+@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft", "pallas_level"))
+def _fused_detect_batch_program(
+    frames, n_valid, *, sr, hop_length, n_fft, pallas_level=0
+):
+    """Batch-of-recordings detection: batch-wide end-scan flatness (the
+    Pallas kernel at `pallas_level` > 0, XLA FFT at 0), then a vmap of the
+    fused mask core over [B, T] recordings; one dispatch for the whole
+    batch. `frames` may be int16 PCM (uploads at half the bytes over the
+    tunnel); conversion to float32/32768 on device is bit-identical to the
+    reference's 16-bit decode path."""
+    framesf = _to_float(frames)
+    mx, mn = _batch_chunk_flatness(
+        framesf, sr=sr, hop_length=hop_length, level=pallas_level
+    )
     return jax.vmap(
-        lambda f, v: _fused_detect_core(f, v, sr=sr, hop_length=hop_length, n_fft=n_fft)
-    )(frames, n_valid)
+        lambda f, v, x, n: _fused_detect_core(
+            f, v, x, n, sr=sr, hop_length=hop_length, n_fft=n_fft
+        )
+    )(framesf, n_valid, mx, mn)
 
 
 def detect_batch_dispatch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096):
@@ -318,7 +321,8 @@ def detect_batch_dispatch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096)
         frames_batch = frames_batch.astype(jnp.float32)
     n_valid = jnp.asarray(n_valid, dtype=jnp.int32)
     found, flat_sec, packed = _fused_detect_batch_program(
-        frames_batch, n_valid, sr=sr, hop_length=hop_length, n_fft=n_fft
+        frames_batch, n_valid, sr=sr, hop_length=hop_length, n_fft=n_fft,
+        pallas_level=_flatness_level(sr, hop_length),
     )
     # second (tiny) dispatch: compact the masks to run lists on device so
     # only KBs cross the wire; async, so it pipelines behind the big program
@@ -415,6 +419,98 @@ _chunk_flatness_program = partial(jax.jit, static_argnames=("sr", "hop_length"))
 )
 
 
+def _flatness_geom(sr: int, hop_length: int) -> dict:
+    """Static geometry of the Pallas end-scan path: windows of S samples,
+    one per 1-s chunk, hop-aligned so kernel frame m+i of window w IS global
+    STFT frame w*chunk+i (same centre-pad/constant conventions)."""
+    n_fft = sr // 10
+    chunk = sr // hop_length  # frames per ~1 s chunk (reference :403)
+    m = -(-(n_fft // 2) // hop_length)  # hop-aligned left margin, frames
+    s = (m + chunk - 1) * hop_length + n_fft // 2
+    return dict(n_fft=n_fft, chunk=chunk, m=m, s=s, f_kernel=1 + s // hop_length)
+
+
+def _flatness_level(sr: int, hop_length: int) -> int:
+    """Frontend kernel level for the end-scan mel (0 = XLA FFT).
+
+    Follows the classify frontend's AAT_PALLAS/AAT_FAST resolution (so an
+    explicit AAT_PALLAS=0 pins the XLA program everywhere), additionally
+    requiring the framed-DIF-eligible end-scan geometry. The end-scan only
+    consumes max==min per chunk, a decision every faithful implementation
+    agrees on (digital silence is exactly zero through any of these paths,
+    real content is never chunk-constant), so kernel numerics never change
+    the detected length — while skipping the Bluestein FFT that the
+    non-power-of-two n_fft=sr//10 forces on XLA (measured ~270 ms of the
+    419 ms fused detect batch)."""
+    from audio_analysis_tpu.pipeline.frontend import _use_pallas_default
+
+    level = _use_pallas_default()
+    if not level:
+        return 0
+    from audio_analysis_tpu.ops.pallas.melspec import MAX_FRAMES_PER_WINDOW, _use_dif
+
+    g = _flatness_geom(sr, hop_length)
+    if not _use_dif(g["n_fft"]) or g["f_kernel"] > MAX_FRAMES_PER_WINDOW:
+        return 0
+    return int(level)
+
+
+def _batch_chunk_flatness(framesf, *, sr, hop_length, level, interpret=False):
+    """[B, T] float PCM -> per-chunk (max, min) [B, C] of the 120-mel
+    power-1 end-scan spectrogram (reference src/identify_tracks.py:387-413).
+
+    level 0 is the XLA reference path (vmapped `_chunk_flatness`). level>0
+    computes the same frames with the Pallas DFT->mel kernel over
+    hop-aligned overlapping windows — window w supplies kernel frames
+    [m, m+chunk) which cover exactly the PCM spans of global frames
+    [w*chunk, (w+1)*chunk), including the global centre pad (the lead zeros)
+    — so the chunk (max, min) ranges over the same (bin, frame) set, modulo
+    kernel rounding, which the max==min decision is insensitive to."""
+    if level == 0:
+        return jax.vmap(
+            lambda f: _chunk_flatness(f, sr=sr, hop_length=hop_length)
+        )(framesf)
+    g = _flatness_geom(sr, hop_length)
+    b, t = framesf.shape
+    n_chunks = (1 + t // hop_length) // g["chunk"]
+    if n_chunks == 0:
+        # shorter than one chunk: never-"checkable" sentinel (mx != mn), as
+        # in _chunk_flatness
+        return (
+            jnp.zeros((b, 1), framesf.dtype),
+            jnp.ones((b, 1), framesf.dtype),
+        )
+    # slab gather (same trick as ops.stft.frame — an explicit [C, S] index
+    # gather takes XLA-TPU minutes to compile): windows start every
+    # chunk*hop samples and span < 2 strides
+    stride = g["chunk"] * hop_length
+    k = -(-g["s"] // stride)
+    lead = g["m"] * hop_length
+    total = (n_chunks + k) * stride
+    padded = jnp.pad(framesf, ((0, 0), (lead, max(0, total - lead - t))))
+    z = padded[:, :total].reshape(b, n_chunks + k, stride)
+    win = jnp.concatenate([z[:, i : i + n_chunks, :] for i in range(k)], axis=-1)
+    win = win[..., : g["s"]].reshape(b * n_chunks, g["s"])
+
+    from audio_analysis_tpu.ops.pallas.melspec import pallas_mel_spectrogram
+
+    mel = pallas_mel_spectrogram(
+        win,
+        sr=sr, n_fft=g["n_fft"], hop_length=hop_length, n_mels=120,
+        fmin=50.0, fmax=11000.0, break_freq=1750.0, power=1.0, htk=True,
+        exact=max(0, int(level) - 1), interpret=interpret,
+    )  # [B*C, 120, f_kernel]
+    used = mel[:, :, g["m"] : g["m"] + g["chunk"]]
+    mx = jnp.max(used, axis=(1, 2)).reshape(b, n_chunks)
+    mn = jnp.min(used, axis=(1, 2)).reshape(b, n_chunks)
+    return mx, mn
+
+
+_flatness_batch_program = partial(
+    jax.jit, static_argnames=("sr", "hop_length", "level")
+)(_batch_chunk_flatness)
+
+
 def detect(frames, sr, n_valid_samples=None, hop_length=281, n_fft=4096):
     """(length_seconds, signals) with one device round trip.
 
@@ -426,8 +522,14 @@ def detect(frames, sr, n_valid_samples=None, hop_length=281, n_fft=4096):
         frames = frames.astype(jnp.float32)  # program converts on device
     if n_valid_samples is None:
         n_valid_samples = frames.shape[0]
-    found, flat_sec, packed = _fused_detect_program(
-        frames, jnp.int32(n_valid_samples), sr=sr, hop_length=hop_length, n_fft=n_fft
+    found, flat_sec, packed = (
+        a[0]
+        for a in _fused_detect_batch_program(
+            frames[None],
+            jnp.asarray([n_valid_samples], jnp.int32),
+            sr=sr, hop_length=hop_length, n_fft=n_fft,
+            pallas_level=_flatness_level(sr, hop_length),
+        )
     )
     n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
     runs = _runs_from_packed_program(packed, width=n_frames_total, max_runs=max_runs())
@@ -466,8 +568,11 @@ def get_end(frames, sr, n_valid_samples=None, hop_length=281):
     frames = jnp.asarray(frames, dtype=jnp.float32)
     if n_valid_samples is None:
         n_valid_samples = frames.shape[0]
-    mx, mn = _chunk_flatness_program(frames, sr=sr, hop_length=hop_length)
-    mx, mn = np.asarray(mx), np.asarray(mn)
+    mx, mn = _flatness_batch_program(
+        frames[None], sr=sr, hop_length=hop_length,
+        level=_flatness_level(sr, hop_length),
+    )
+    mx, mn = np.asarray(mx[0]), np.asarray(mn[0])
 
     chunk = sr // hop_length
     n_frames_valid = num_frames(int(n_valid_samples), hop_length, sr // 10)

@@ -142,6 +142,42 @@ def test_get_end_no_flat():
     assert get_end(y, SR) == pytest.approx(3.0)
 
 
+@pytest.mark.parametrize("level", [1, 3])
+def test_batch_chunk_flatness_pallas_matches_xla(level):
+    """The Pallas end-scan path (interpret mode on CPU) gives the XLA
+    path's flat/nonflat decisions exactly — silence chunks are exactly zero
+    through the kernel too — and close per-chunk values."""
+    import jax.numpy as jnp
+
+    from audio_analysis_tpu.detect.signal_noise import _batch_chunk_flatness
+
+    hop = 281
+    rng = np.random.RandomState(0)
+    y = np.zeros((2, 5 * SR), np.float32)
+    t = np.arange(3 * SR) / SR
+    y[0, : 3 * SR] = (
+        0.05 * rng.randn(3 * SR) + 0.3 * np.sin(2 * np.pi * 3000 * t)
+    ).astype(np.float32)
+    y[1] = 0.05 * rng.randn(5 * SR).astype(np.float32)  # no silence tail
+    fx = jnp.asarray(y)
+    mx0, mn0 = _batch_chunk_flatness(fx, sr=SR, hop_length=hop, level=0)
+    mx, mn = _batch_chunk_flatness(
+        fx, sr=SR, hop_length=hop, level=level, interpret=True
+    )
+    assert mx.shape == mx0.shape
+    flat0 = np.asarray(mx0 == mn0)
+    flat = np.asarray(mx == mn)
+    np.testing.assert_array_equal(flat, flat0)
+    assert flat0[0].any() and not flat0[1].any()
+    # non-flat chunk values agree to kernel tolerance (bf16 level 1 is the
+    # loosest); flat chunks are exactly zero on both paths
+    rtol = 0.05 if level == 1 else 1e-4
+    np.testing.assert_allclose(
+        np.asarray(mx)[~flat], np.asarray(mx0)[~flat0], rtol=rtol
+    )
+    assert np.all(np.asarray(mx)[flat] == 0.0)
+
+
 # ---------------------------------------------------------------------------
 # merge rules (hand-crafted cases, expectations derived from the rules)
 # ---------------------------------------------------------------------------
