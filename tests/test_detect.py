@@ -127,6 +127,25 @@ def test_masked_median_fast_exact(rng):
     np.testing.assert_array_equal(got, np.median(x, axis=0, keepdims=True))
 
 
+def test_masked_medians_rowcol_exact(rng):
+    """The fused row+col rank search equals np.median exactly on both axes
+    (odd/even valid column counts, invalid columns excluded from rows but
+    included in column positions, zeros and ties present)."""
+    import jax.numpy as jnp
+
+    from audio_analysis_tpu.detect.signal_noise import _masked_medians_rowcol
+
+    for nvf, total, bins in [(101, 128, 19), (100, 128, 20), (7, 7, 5), (1, 9, 3)]:
+        x = np.abs(rng.randn(bins, total)).astype(np.float32)
+        x[:, : max(1, nvf // 3)] = 0.0  # ties and zeros
+        col_valid = jnp.arange(total) < nvf
+        row, col = _masked_medians_rowcol(jnp.asarray(x), col_valid, nvf, bins)
+        ref_row = np.median(x[:, :nvf], axis=1, keepdims=True)
+        np.testing.assert_array_equal(np.asarray(row), ref_row)
+        ref_col = np.median(x, axis=0, keepdims=True)
+        np.testing.assert_array_equal(np.asarray(col), ref_col)
+
+
 def test_get_end_detects_flat_tail():
     y = _chirpy_recording(seconds=4)
     full = np.concatenate([y, np.zeros(4 * SR, np.float32)])
