@@ -220,6 +220,41 @@ def max_runs() -> int:
     return int(__import__("os").environ.get("AAT_MAX_RUNS", "16384"))
 
 
+# run-extraction program sizes: the kth-set-bits cost is ~linear in the
+# static query budget (measured 30.3/12.2/7.4 ms per kth call for
+# k=16384/4096/1024 on an 8x60s batch), so the actual run count — known
+# from the cheap counting reduction — picks the smallest compiled size
+# that fits. At most len(_RUN_BUCKETS) tiny programs ever compile.
+_RUN_BUCKETS = (256, 1024, 4096, 16384)
+
+
+def _runs_bucket(n_max: int) -> int:
+    cap = max_runs()
+    for b in _RUN_BUCKETS:
+        if b >= cap:
+            break
+        if n_max <= b:
+            return b
+    return cap
+
+
+@jax.jit
+def _run_count_program(packed: jnp.ndarray):
+    """Per-recording horizontal-run counts of [..., R, W]-word packed masks,
+    plus the batch-global maximum (a replicated scalar: under multi-host
+    sharding every process reads the same value, so the bucket choice that
+    sizes the runs program stays collective)."""
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    pad_cfg = [(0, 0)] * (u.ndim - 1) + [(1, 0)]
+    left = jnp.pad(u[..., :-1], pad_cfg)
+    prev_bit = (u >> jnp.uint32(1)) | (left << jnp.uint32(31))
+    starts = u & ~prev_bit
+    counts = jnp.sum(
+        _popcount32(starts).astype(jnp.int32), axis=(-2, -1), dtype=jnp.int32
+    )
+    return counts, jnp.max(counts, initial=0)
+
+
 def _popcount32(w: jnp.ndarray) -> jnp.ndarray:
     """Per-word population count, uint32 in/out (SWAR)."""
     w = w - ((w >> jnp.uint32(1)) & jnp.uint32(0x55555555))
@@ -319,26 +354,29 @@ def signal_noise(frames, sr, hop_length=281, n_valid_samples=None, n_fft=4096):
         frames, jnp.int32(n_valid_samples), sr=sr, hop_length=hop_length, n_fft=n_fft
     )
     n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
-    runs = _runs_from_packed_program(packed, width=n_frames_total, max_runs=max_runs())
-    stats = _stats_from_mask_outputs((packed,) + runs, n_frames_total)
+    stats = _stats_adaptive(packed, n_frames_total)
     return _signals_from_stats(stats, sr, hop_length, n_fft)
 
 
-def _stats_from_mask_outputs(mask_out, width):
-    """Component stats from a (packed, runs_s, runs_e, n_runs) mask program
-    output: the compact run transfer when it fits, else the packed mask
-    (only then is the big array pulled over the wire)."""
+def _stats_adaptive(packed, width):
+    """Component stats for a single [R, W] packed mask: count the runs
+    first (cheap reduction), then run the smallest compiled run-extraction
+    program that fits; empty masks and over-budget masks skip it."""
+    n = int(np.asarray(_run_count_program(packed)[0]))
+    if n == 0:
+        return np.zeros((0, 5), np.int64)
+    if n > max_runs():
+        return connected_components_with_stats_packed(np.asarray(packed), width)
+    runs_s, runs_e, _ = _runs_from_packed_program(
+        packed, width=width, max_runs=_runs_bucket(n)
+    )
     from audio_analysis_tpu.ops.components import (
         connected_components_with_stats_runs,
     )
 
-    packed, runs_s, runs_e, n_runs = mask_out
-    n = int(np.asarray(n_runs))
-    if n <= runs_s.shape[-1]:
-        return connected_components_with_stats_runs(
-            np.asarray(runs_s), np.asarray(runs_e), n, packed.shape[-2], width
-        )
-    return connected_components_with_stats_packed(np.asarray(packed), width)
+    return connected_components_with_stats_runs(
+        np.asarray(runs_s), np.asarray(runs_e), n, packed.shape[-2], width
+    )
 
 
 def _fused_detect_core(frames, n_valid, mx, mn, *, sr, hop_length, n_fft):
@@ -400,14 +438,14 @@ def detect_batch_dispatch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096)
         frames_batch, n_valid, sr=sr, hop_length=hop_length, n_fft=n_fft,
         pallas_level=_flatness_level(sr, hop_length),
     )
-    # second (tiny) dispatch: compact the masks to run lists on device so
-    # only KBs cross the wire; async, so it pipelines behind the big program
-    n_frames_total = num_frames(frames_batch.shape[-1], hop_length, n_fft)
-    runs_s, runs_e, n_runs = _runs_from_packed_program(
-        packed, width=n_frames_total, max_runs=max_runs()
-    )
+    # second (tiny) dispatch: count each mask's runs on device; async, so
+    # it pipelines behind the big program. The run-extraction program is
+    # dispatched at finish time, sized to the counts actually observed
+    # (k=16384 unconditionally cost 61 ms/batch; counting + a right-sized
+    # program is ~4x cheaper on typical masks).
+    counts, n_max = _run_count_program(packed)
     return (
-        found, flat_sec, packed, runs_s, runs_e, n_runs,
+        found, flat_sec, packed, counts, n_max,
         n_valid, frames_batch.shape, sr, hop_length, n_fft,
     )
 
@@ -425,29 +463,44 @@ def detect_batch_finish(handle):
     )
     from audio_analysis_tpu.parallel.distributed import local_slice
 
-    (found, flat_sec, packed, runs_s, runs_e, n_runs,
+    (found, flat_sec, packed, counts, n_max,
      n_valid, shape, sr, hop_length, n_fft) = handle
+    # n_max is a replicated scalar: every process reads the same value, so
+    # the bucket choice below dispatches the SAME run-extraction program
+    # collectively under multi-host (a per-process local max would hang
+    # the mesh on mismatched programs)
+    n_max = int(np.asarray(n_max))
+    budget = max_runs()
+    if 0 < n_max:
+        runs_s, runs_e, _ = _runs_from_packed_program(
+            packed,
+            width=num_frames(shape[-1], hop_length, n_fft),
+            max_runs=_runs_bucket(min(n_max, budget)),
+        )
     # local_slice == np.asarray for single-process arrays; under multi-host
     # each process transfers and post-processes ONLY its own recordings
     found = local_slice(found)
     flat_sec = local_slice(flat_sec)
-    n_runs = local_slice(n_runs)
-    runs_s = local_slice(runs_s)
-    runs_e = local_slice(runs_e)
+    n_runs = local_slice(counts)
+    if 0 < n_max:
+        runs_s = local_slice(runs_s)
+        runs_e = local_slice(runs_e)
     n_valid_np = local_slice(n_valid)
     n_frames_total = num_frames(shape[-1], hop_length, n_fft)
     n_bins = packed.shape[-2]
     B = found.shape[0]
     if B == 0:
         return []
-    budget = runs_s.shape[-1]
     # rare path: any recording whose runs overflowed needs its packed mask
-    packed_np = local_slice(packed) if any(int(n_runs[b]) > budget for b in range(B)) else None
+    packed_np = local_slice(packed) if n_max > budget else None
 
     def one(b):
-        if int(n_runs[b]) <= budget:
+        nb = int(n_runs[b])
+        if nb == 0:
+            stats = np.zeros((0, 5), np.int64)
+        elif nb <= budget:
             stats = connected_components_with_stats_runs(
-                runs_s[b], runs_e[b], int(n_runs[b]), n_bins, n_frames_total
+                runs_s[b], runs_e[b], nb, n_bins, n_frames_total
             )
         else:
             stats = connected_components_with_stats_packed(
@@ -608,10 +661,9 @@ def detect(frames, sr, n_valid_samples=None, hop_length=281, n_fft=4096):
         )
     )
     n_frames_total = num_frames(frames.shape[0], hop_length, n_fft)
-    runs = _runs_from_packed_program(packed, width=n_frames_total, max_runs=max_runs())
     found = bool(np.asarray(found))
     length = int(np.asarray(flat_sec)) if found else n_valid_samples / sr
-    stats = _stats_from_mask_outputs((packed,) + runs, n_frames_total)
+    stats = _stats_adaptive(packed, n_frames_total)
     return length, _signals_from_stats(stats, sr, hop_length, n_fft)
 
 

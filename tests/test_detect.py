@@ -262,3 +262,58 @@ def test_detect_batch_empty():
 
     out = detect_batch(np.zeros((0, 48000), np.int16), np.zeros(0, np.int32), 48000)
     assert out == []
+
+
+def test_runs_bucket_tiers(monkeypatch):
+    import importlib
+
+    sn = importlib.import_module("audio_analysis_tpu.detect.signal_noise")
+
+    assert sn._runs_bucket(1) == 256
+    assert sn._runs_bucket(256) == 256
+    assert sn._runs_bucket(257) == 1024
+    assert sn._runs_bucket(5000) == 16384
+    monkeypatch.setenv("AAT_MAX_RUNS", "600")
+    assert sn._runs_bucket(5) == 256
+    assert sn._runs_bucket(500) == 600  # capped to the budget, no 1024 tier
+
+
+def test_run_count_program_counts_runs():
+    import jax.numpy as jnp
+    import importlib
+
+    sn = importlib.import_module("audio_analysis_tpu.detect.signal_noise")
+
+    m = np.zeros((2, 3, 70), bool)
+    m[0, 0, 0:5] = True          # one run
+    m[0, 1, 31:34] = True        # crosses the word boundary: still one run
+    m[0, 2, [10, 12, 14]] = True  # three runs
+    m[1, 0, 69] = True           # last column
+    packed = jnp.stack([sn._pack_bits(jnp.asarray(r)) for r in m])
+    counts, n_max = sn._run_count_program(packed)
+    np.testing.assert_array_equal(np.asarray(counts), [5, 1])
+    assert int(n_max) == 5
+
+
+def test_detect_batch_zero_and_overflow(monkeypatch):
+    """Silent recordings skip the run program entirely; adversarially dense
+    masks overflow the budget and fall back to the packed-mask transfer,
+    with identical signals either way."""
+    from audio_analysis_tpu.detect.signal_noise import detect_batch
+
+    y = np.stack([
+        np.zeros(4 * SR, np.float32),
+        _chirpy_recording(seconds=4, seed=2),
+    ])
+    nv = np.full(2, y.shape[1], np.int32)
+    base = detect_batch(y, nv, SR)
+    assert base[0][1] == []  # digital silence: no signals
+    assert len(base[1][1]) > 0
+    monkeypatch.setenv("AAT_MAX_RUNS", "1")  # force the overflow fallback
+    over = detect_batch(y, nv, SR)
+    assert over[0][1] == []
+    assert [tuple(map(float, (s.start, s.end, s.freq_start, s.freq_end)))
+            for s in over[1][1]] == [
+        tuple(map(float, (s.start, s.end, s.freq_start, s.freq_end)))
+        for s in base[1][1]
+    ]
