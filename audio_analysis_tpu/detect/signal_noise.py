@@ -623,11 +623,15 @@ def _batch_chunk_flatness(framesf, *, sr, hop_length, level, interpret=False):
 
     from audio_analysis_tpu.ops.pallas.melspec import pallas_mel_spectrogram
 
+    # interpret is only FORCED when true: tests monkeypatch the kernel entry
+    # with partial(..., interpret=True), which an explicit False would
+    # override (partial keywords lose to call-site keywords)
+    kw = {"interpret": True} if interpret else {}
     mel = pallas_mel_spectrogram(
         win,
         sr=sr, n_fft=g["n_fft"], hop_length=hop_length, n_mels=120,
         fmin=50.0, fmax=11000.0, break_freq=1750.0, power=1.0, htk=True,
-        exact=max(0, int(level) - 1), interpret=interpret,
+        exact=max(0, int(level) - 1), **kw,
     )  # [B*C, 120, f_kernel]
     used = mel[:, :, g["m"] : g["m"] + g["chunk"]]
     mx = jnp.max(used, axis=(1, 2)).reshape(b, n_chunks)

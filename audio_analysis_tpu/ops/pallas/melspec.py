@@ -229,19 +229,14 @@ def _dot(a, b):
     )
 
 
-def _kernel_dif(
-    z_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, mel_ref, out_ref,
-    *, power, n_fft, hop, k, bl, n_mels, exact=False,
-):
-    f32 = jnp.float32
-    # Framing happens HERE, in VMEM: the input block is one window's padded
-    # PCM as [rows, hop] (1x the PCM bytes through HBM); frame f is rows
-    # f..f+k-1 flattened, so the frame matrix is k sublane-shifted slabs
-    # concatenated along lanes. The old XLA-side frame materialisation wrote
-    # + re-read a [n_frames, n_fft] array at 6.4x the PCM bytes — measured
-    # ~6.3 of the 13 ms end-to-end.
-    z = z_ref[0].astype(f32)  # [rows_p, hop]
-    fp = out_ref.shape[0]
+def _frame_in_kernel(z_ref, w_ref, *, n_fft, k, fp):
+    """Framing happens HERE, in VMEM: the input block is one window's padded
+    PCM as [rows, hop] (1x the PCM bytes through HBM); frame f is rows
+    f..f+k-1 flattened, so the frame matrix is k sublane-shifted slabs
+    concatenated along lanes. An XLA-side frame materialisation writes +
+    re-reads a [n_frames, n_fft] array at 6.4x the PCM bytes — measured
+    ~6.3 of 13 ms end-to-end on the mel kernel."""
+    z = z_ref[0].astype(jnp.float32)  # [rows_p, hop]
     # roll-to-offset-0 before slicing: Mosaic cannot concatenate vectors
     # whose sublane offsets differ, and z[i:i+fp] carries offset i mod 8
     slabs = [
@@ -250,7 +245,13 @@ def _kernel_dif(
     x = jnp.concatenate(slabs, axis=1)
     # window applied here too: an XLA-side multiply would force a separate
     # f32 round-trip through HBM (measured: 13 -> 22 ms on the frames form)
-    x = x[:, :n_fft] * w_ref[:]
+    return x[:, :n_fft] * w_ref[:]
+
+
+def _dif_tree(x, tw1_ref, tw2_ref, tw3_ref, n_fft):
+    """3-level DIF butterfly over the windowed frame matrix: returns the 8
+    leaf sequences [(real, imag-or-None), ...] in tree-emit order (leaf b
+    holds final bins 8j + _LEAF_OFF[b]). All f32 VPU work — exact."""
     h = n_fft // 2
 
     def split_c(r, i, q, c, s):
@@ -282,6 +283,48 @@ def _kernel_dif(
         leaves.extend(
             split_r(r, q3, c3, s3) if i is None else split_c(r, i, q3, c3, s3)
         )
+    return leaves
+
+
+def _exact_machinery(n):
+    """(split, dotx) for n-way split-bf16 matmuls: f32-accurate dots from
+    bf16 MXU passes — see the `exact` notes on _kernel_dif."""
+    f32, bf16 = jnp.float32, jnp.bfloat16
+
+    def split(a):
+        parts, rem = [], a
+        for _ in range(n - 1):
+            hi = rem.astype(bf16)
+            parts.append(hi)
+            rem = rem - hi.astype(f32)
+        parts.append(rem.astype(bf16))
+        return parts
+
+    # term order (i, j) with i+j < n, largest i+j first (sum smallest-first)
+    order = sorted(
+        ((i, j) for i in range(n) for j in range(n) if i + j < n),
+        key=lambda t: -(t[0] + t[1]),
+    )
+
+    def dotx(parts, b_ref, row0=0, row1=None):
+        acc = None
+        for i, j in order:
+            bj = b_ref[j] if row1 is None else b_ref[j, row0:row1, :]
+            t = _dot(parts[i], bj)
+            acc = t if acc is None else acc + t
+        return acc
+
+    return split, dotx
+
+
+def _kernel_dif(
+    z_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, mel_ref, out_ref,
+    *, power, n_fft, hop, k, bl, n_mels, exact=False,
+):
+    f32 = jnp.float32
+    fp = out_ref.shape[0]
+    x = _frame_in_kernel(z_ref, w_ref, n_fft=n_fft, k=k, fp=fp)
+    leaves = _dif_tree(x, tw1_ref, tw2_ref, tw3_ref, n_fft)
 
     bf16 = jnp.bfloat16
     if exact:
@@ -292,29 +335,7 @@ def _kernel_dif(
         # because Mosaic ignores lax.Precision on f32 dots (measured 6e-3
         # max rel = one bf16 pass). bf16*bf16 -> f32 products are exact.
         n = c_ref.shape[0]
-
-        def split(a):
-            parts, rem = [], a
-            for _ in range(n - 1):
-                hi = rem.astype(bf16)
-                parts.append(hi)
-                rem = rem - hi.astype(f32)
-            parts.append(rem.astype(bf16))
-            return parts
-
-        # term order (i, j) with i+j < n, largest i+j first
-        order = sorted(
-            ((i, j) for i in range(n) for j in range(n) if i + j < n),
-            key=lambda t: -(t[0] + t[1]),
-        )
-
-        def dotx(parts, b_ref, row0=0, row1=None):
-            acc = None
-            for i, j in order:
-                bj = b_ref[j] if row1 is None else b_ref[j, row0:row1, :]
-                t = _dot(parts[i], bj)
-                acc = t if acc is None else acc + t
-            return acc
+        split, dotx = _exact_machinery(n)
 
         def dot_cs(a):
             parts = split(a)
