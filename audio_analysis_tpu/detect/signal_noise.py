@@ -159,6 +159,15 @@ def _signal_mask(frames, n_valid, *, sr, hop_length, n_fft):
     frames = jnp.where(idx < n_valid, frames, 0.0)
 
     spec = stft_magnitude(frames, n_fft, hop_length)  # [bins, T]
+    return _signal_mask_from_spec(
+        spec, n_valid, sr=sr, hop_length=hop_length, n_fft=n_fft
+    )
+
+
+def _signal_mask_from_spec(spec, n_valid, *, sr, hop_length, n_fft):
+    """The mask pipeline downstream of the |STFT|: callers supply the
+    [bins, T] magnitude spectrogram of the (invalid-region-zeroed) PCM —
+    either the XLA FFT's or the Pallas split-bf16 kernel's."""
     bins, total_frames = spec.shape
     nvf = 1 + n_valid // hop_length  # valid frame count
     col_idx = jnp.arange(total_frames)
@@ -379,17 +388,11 @@ def _stats_adaptive(packed, width):
     )
 
 
-def _fused_detect_core(frames, n_valid, mx, mn, *, sr, hop_length, n_fft):
-    """End-scan decision + signal mask in ONE device program (one host round
-    trip — RPC latency to the tunnel TPU dominates small dispatches).
-
-    Takes the per-chunk flatness (max, min) precomputed batch-wide by
-    `_batch_chunk_flatness` (outside the vmap so the Pallas end-scan kernel
-    sees one flat grid). Returns (flat_found int32, flat_sec int32,
-    packed_mask uint8). The mask is computed against the end-scan's detected
-    data end, exactly like the host two-step (classify truncates to
-    get_end's length, reference src/identify_tracks.py:419-420).
-    """
+def _endscan_decision(n_valid, mx, mn, *, sr, hop_length):
+    """End-scan decision from per-chunk flatness (max, min): (found int32,
+    flat_sec int32, mask_valid samples). mask_valid is the end-scan's
+    detected data end, exactly like the host two-step (classify truncates
+    to get_end's length, reference src/identify_tracks.py:419-420)."""
     chunk = sr // hop_length
     n_frames_valid = 1 + n_valid // hop_length
     k = jnp.arange(mx.shape[0])
@@ -399,31 +402,72 @@ def _fused_detect_core(frames, n_valid, mx, mn, *, sr, hop_length, n_fft):
     first = jnp.argmax(flat)  # first True (0 if none, guarded by `found`)
     flat_sec = (first * chunk * hop_length) // sr
     mask_valid = jnp.where(found, jnp.int32(sr) * flat_sec, n_valid)
-    packed = _signal_mask(
-        frames, mask_valid, sr=sr, hop_length=hop_length, n_fft=n_fft
-    )
-    return found.astype(jnp.int32), flat_sec.astype(jnp.int32), packed
+    return found.astype(jnp.int32), flat_sec.astype(jnp.int32), mask_valid
 
 
-@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft", "pallas_level"))
+def _mag_level(pallas_level, n_fft, hop_length) -> int:
+    """Exact level for the in-program Pallas magnitude STFT (0 = XLA FFT).
+
+    The mask's median thresholds consume raw bin magnitudes, so only the
+    split-bf16 exact contract is eligible: at ANY enabled pallas level the
+    mag kernel runs exact2 (3-way split; max rel 1.7e-5 in interpret,
+    f32-grade on chip), never the bf16 fast contract — an AAT_FAST user
+    still gets reference-stable detection boxes."""
+    if not pallas_level:
+        return 0
+    from audio_analysis_tpu.ops.pallas.melspec import mag_geometry
+
+    return 2 if mag_geometry(int(n_fft), int(hop_length)) else 0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("sr", "hop_length", "n_fft", "pallas_level", "interpret"),
+)
 def _fused_detect_batch_program(
-    frames, n_valid, *, sr, hop_length, n_fft, pallas_level=0
+    frames, n_valid, *, sr, hop_length, n_fft, pallas_level=0, interpret=False
 ):
     """Batch-of-recordings detection: batch-wide end-scan flatness (the
-    Pallas kernel at `pallas_level` > 0, XLA FFT at 0), then a vmap of the
-    fused mask core over [B, T] recordings; one dispatch for the whole
-    batch. `frames` may be int16 PCM (uploads at half the bytes over the
-    tunnel); conversion to float32/32768 on device is bit-identical to the
+    Pallas kernel at `pallas_level` > 0, XLA FFT at 0), the end-scan
+    decision, then the signal-mask pipeline over [B, T] recordings; one
+    dispatch for the whole batch. At pallas_level > 0 the mask's |STFT|
+    also runs batch-wide through the split-bf16 Pallas kernel (the XLA
+    FFT path materialises the 6.4x-amplified frame matrix in HBM — the
+    largest leg of this program at ~78 ms of 170 ms on an 8x60s batch).
+    `frames` may be int16 PCM (uploads at half the bytes over the tunnel);
+    conversion to float32/32768 on device is bit-identical to the
     reference's 16-bit decode path."""
     framesf = _to_float(frames)
     mx, mn = _batch_chunk_flatness(
-        framesf, sr=sr, hop_length=hop_length, level=pallas_level
+        framesf, sr=sr, hop_length=hop_length, level=pallas_level,
+        interpret=interpret,
     )
-    return jax.vmap(
-        lambda f, v, x, n: _fused_detect_core(
-            f, v, x, n, sr=sr, hop_length=hop_length, n_fft=n_fft
+    found, flat_sec, mask_valid = jax.vmap(
+        lambda v, x, n: _endscan_decision(v, x, n, sr=sr, hop_length=hop_length)
+    )(n_valid, mx, mn)
+
+    mag = _mag_level(pallas_level, n_fft, hop_length)
+    if mag:
+        from audio_analysis_tpu.ops.pallas.melspec import pallas_stft_magnitude
+
+        idx = jnp.arange(framesf.shape[1])
+        fz = jnp.where(idx[None, :] < mask_valid[:, None], framesf, 0.0)
+        kw = {"interpret": True} if interpret else {}
+        spec = pallas_stft_magnitude(
+            fz, n_fft=n_fft, hop_length=hop_length, exact=mag, **kw
         )
-    )(framesf, n_valid, mx, mn)
+        packed = jax.vmap(
+            lambda s, v: _signal_mask_from_spec(
+                s, v, sr=sr, hop_length=hop_length, n_fft=n_fft
+            )
+        )(spec, mask_valid)
+    else:
+        packed = jax.vmap(
+            lambda f, v: _signal_mask(
+                f, v, sr=sr, hop_length=hop_length, n_fft=n_fft
+            )
+        )(framesf, mask_valid)
+    return found, flat_sec, packed
 
 
 def detect_batch_dispatch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096):

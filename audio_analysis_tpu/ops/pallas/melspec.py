@@ -286,17 +286,42 @@ def _dif_tree(x, tw1_ref, tw2_ref, tw3_ref, n_fft):
     return leaves
 
 
-def _exact_machinery(n):
+def _bf16_hi(a):
+    """The f32 value of round-to-nearest-even(a -> bf16), computed with
+    integer bit math instead of a convert pair: XLA-CPU's algebraic
+    simplifier cancels convert_f32(convert_bf16(x)) back to x (measured —
+    the residual `a - bf16(a)` folds to zero under jit on CPU, silently
+    degrading the split to a single bf16 pass in interpret-mode tests),
+    and the bit form gives it nothing to cancel. Finite values only (audio
+    magnitudes; NaN/Inf never reach the split)."""
+    b = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    r = b + jnp.uint32(0x7FFF) + ((b >> jnp.uint32(16)) & jnp.uint32(1))
+    return jax.lax.bitcast_convert_type(r & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def _exact_machinery(n, use_bits=False):
     """(split, dotx) for n-way split-bf16 matmuls: f32-accurate dots from
-    bf16 MXU passes — see the `exact` notes on _kernel_dif."""
+    bf16 MXU passes — see the `exact` notes on _kernel_dif.
+
+    ``use_bits`` selects the integer-bit residual extraction — required
+    under interpret (XLA-CPU cancels the convert pair, see _bf16_hi) but
+    heavier on the kernel's scoped VMEM stack, so compiled Mosaic keeps the
+    convert form (Mosaic preserves it: the on-chip split accuracy ladder is
+    measured at 1.5e-6 vs a float64 oracle, tools/verify_frontend_precision.py
+    re-proves it any time)."""
     f32, bf16 = jnp.float32, jnp.bfloat16
 
     def split(a):
         parts, rem = [], a
         for _ in range(n - 1):
-            hi = rem.astype(bf16)
-            parts.append(hi)
-            rem = rem - hi.astype(f32)
+            if use_bits:
+                hi = _bf16_hi(rem)
+                parts.append(hi.astype(bf16))  # exact: hi is representable
+                rem = rem - hi
+            else:
+                hi = rem.astype(bf16)
+                parts.append(hi)
+                rem = rem - hi.astype(f32)
         parts.append(rem.astype(bf16))
         return parts
 
@@ -319,7 +344,7 @@ def _exact_machinery(n):
 
 def _kernel_dif(
     z_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, mel_ref, out_ref,
-    *, power, n_fft, hop, k, bl, n_mels, exact=False,
+    *, power, n_fft, hop, k, bl, n_mels, exact=False, use_bits=False,
 ):
     f32 = jnp.float32
     fp = out_ref.shape[0]
@@ -335,7 +360,7 @@ def _kernel_dif(
         # because Mosaic ignores lax.Precision on f32 dots (measured 6e-3
         # max rel = one bf16 pass). bf16*bf16 -> f32 products are exact.
         n = c_ref.shape[0]
-        split, dotx = _exact_machinery(n)
+        split, dotx = _exact_machinery(n, use_bits)
 
         def dot_cs(a):
             parts = split(a)
@@ -375,6 +400,55 @@ def _kernel_dif(
             p = jnp.power(p, power / 2.0)
         acc = acc + _dot(p.astype(bf16), mel_ref[b * bl : (b + 1) * bl, :])
     out_ref[:] = acc
+
+
+def _kernel_dif_mag(
+    z_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, out_ref,
+    *, power, n_fft, k, bl, exact=0, use_bits=False,
+):
+    """Magnitude-spectrum variant of _kernel_dif: same in-VMEM framing and
+    DIF tree, but each leaf's |X|^power is written straight to its own
+    lane-slice of the output (leaf-permuted [fp, 8*bl] layout — see
+    leaf_bin_index for the natural-order gather) instead of feeding a mel
+    matmul. Serves consumers that need the full linear spectrum (the detect
+    program's median thresholds, reference src/identify_tracks.py:650-656)."""
+    fp = out_ref.shape[0]
+    x = _frame_in_kernel(z_ref, w_ref, n_fft=n_fft, k=k, fp=fp)
+    leaves = _dif_tree(x, tw1_ref, tw2_ref, tw3_ref, n_fft)
+
+    def epilogue(p):
+        if power == 1.0:
+            return jnp.sqrt(p)
+        if power != 2.0:
+            return jnp.power(p, power / 2.0)
+        return p
+
+    if exact:
+        n = c_ref.shape[0]
+        split, dotx = _exact_machinery(n, use_bits)
+        for b, (r, i) in enumerate(leaves):
+            pr = split(r)
+            rc, rs = dotx(pr, c_ref), dotx(pr, s_ref)
+            if i is None:
+                xr, xi = rc, -rs
+            else:
+                pi = split(i)
+                xr = rc + dotx(pi, s_ref)
+                xi = dotx(pi, c_ref) - rs
+            out_ref[:, b * bl : (b + 1) * bl] = epilogue(xr * xr + xi * xi)
+        return
+
+    bf16 = jnp.bfloat16
+    C, S = c_ref[:], s_ref[:]
+    for b, (r, i) in enumerate(leaves):
+        rb = r.astype(bf16)
+        if i is None:
+            xr, xi = _dot(rb, C), -_dot(rb, S)
+        else:
+            ib = i.astype(bf16)
+            xr = _dot(rb, C) + _dot(ib, S)
+            xi = _dot(ib, C) - _dot(rb, S)
+        out_ref[:, b * bl : (b + 1) * bl] = epilogue(xr * xr + xi * xi)
 
 
 def z_layout_shapes(n_fft: int, hop_length: int, n_samples: int):
@@ -446,7 +520,7 @@ def _melspec_core_dif(
         partial(
             _kernel_dif,
             power=power, n_fft=n_fft, hop=hop_length, k=k, bl=bl, n_mels=n_mels,
-            exact=exact,
+            exact=exact, use_bits=bool(interpret),
         ),
         grid=(n,),
         in_specs=[
@@ -634,3 +708,168 @@ def pallas_mel_spectrogram(
         hop_length=int(hop_length), n_fft=int(n_fft), power=float(power),
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Full magnitude spectrogram of LONG signals through the framed-DIF kernel.
+#
+# The detect program's STFT (n_fft 4096, hop 281, 60 s recordings) was the
+# largest remaining leg of the fused detect batch (~78 ms of 170 ms): XLA's
+# path materialises the 6.4x-amplified [n_frames, n_fft] frame matrix in HBM
+# before its FFT. Here the recording is sliced into hop-aligned overlapping
+# slabs (same scheme as the end-scan in detect/signal_noise) and each slab
+# runs the in-VMEM-framing DIF kernel, emitting |X|^power for ALL rfft bins
+# in the leaf-permuted layout; a single gather restores natural bin order.
+# ---------------------------------------------------------------------------
+
+
+def leaf_bin_index(n_fft: int, bl: int) -> np.ndarray:
+    """Column index into the [., 8*bl] leaf-permuted layout for each natural
+    rfft bin k: leaf b = off^-1(k mod 8), column b*bl + k//8."""
+    inv = {off: b for b, off in enumerate(_LEAF_OFF)}
+    k = np.arange(1 + n_fft // 2)
+    return (np.vectorize(inv.get)(k % 8) * bl + k // 8).astype(np.int32)
+
+
+def _device_weights_dif_mag(n_fft, window, exact=0):
+    key = ("difmag", n_fft, window, int(exact))
+    got = _DEVICE_WEIGHTS.get(key)
+    if got is None:
+        w, tw1, tw2, tw3, leaf_c, leaf_s, bl = _dif_consts(
+            n_fft, window, 1 + n_fft // 2, int(exact)
+        )
+        with jax.ensure_compile_time_eval():
+            got = tuple(jnp.asarray(a) for a in (w, tw1, tw2, tw3, leaf_c, leaf_s))
+        _DEVICE_WEIGHTS[key] = got
+    return got
+
+
+def mag_chunk_frames(n_fft: int, hop_length: int) -> int:
+    """Frames contributed per slab. Smaller than the mel kernel's cap: the
+    mag kernel's live VMEM set adds the [fp, 8*bl] f32 output block (~2 MB
+    at 184 frames) on top of the frame matrix + tree (~3x frames bytes), so
+    the slab is sized to keep the whole kernel under ~12 MB of the ~16 MB
+    VMEM. AAT_MAG_CHUNK overrides for on-chip tuning."""
+    import os
+
+    v = os.environ.get("AAT_MAG_CHUNK")
+    if v:
+        return int(v)
+    return 160
+
+
+def mag_geometry(n_fft: int, hop_length: int):
+    """Static slab geometry for pallas_stft_magnitude, or None when the
+    framed-DIF kernel cannot take this (n_fft, hop) combination."""
+    if not _use_dif(int(n_fft)):
+        return None
+    m = -(-(n_fft // 2) // hop_length)  # hop-aligned left margin, frames
+    c = mag_chunk_frames(n_fft, hop_length)
+    s = (m + c - 1) * hop_length + n_fft // 2
+    f_kernel = 1 + s // hop_length
+    if f_kernel > MAX_FRAMES_PER_WINDOW:
+        return None
+    return dict(m=m, c=c, s=s, f_kernel=f_kernel)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("hop_length", "n_fft", "power", "interpret", "exact"),
+)
+def _magspec_core_dif(
+    windows, w, tw1, tw2, tw3, leaf_c, leaf_s,
+    *, hop_length, n_fft, power, interpret=False, exact=0,
+):
+    """[N, S] PCM windows -> [N, f, 8*bl] leaf-permuted |X|^power (f32)."""
+    n, s = windows.shape
+    f = 1 + s // hop_length
+    rows_p, fp, k = z_layout_shapes(n_fft, hop_length, s)
+    z_dtype = jnp.float32 if exact else jnp.bfloat16
+    z = jnp.pad(
+        windows, ((0, 0), (n_fft // 2, rows_p * hop_length - s - n_fft // 2))
+    ).astype(z_dtype).reshape(n, rows_p, hop_length)
+
+    bl = leaf_c.shape[-1]
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(
+            _kernel_dif_mag,
+            power=power, n_fft=n_fft, k=k, bl=bl, exact=exact,
+            use_bits=bool(interpret),
+        ),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, rows_p, hop_length), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full(w), full(tw1), full(tw2), full(tw3),
+            full(leaf_c), full(leaf_s),
+        ],
+        out_specs=pl.BlockSpec((fp, 8 * bl), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * fp, 8 * bl), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=(3 if int(exact) == 2 else (2 if exact else 1))
+            * 4 * n * fp * n_fft * bl,
+            bytes_accessed=n * rows_p * hop_length * (4 if exact else 2)
+            + n * fp * 8 * bl * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(z, w, tw1, tw2, tw3, leaf_c, leaf_s)
+    return out.reshape(n, fp, 8 * bl)[:, :f]
+
+
+def pallas_stft_magnitude(
+    y: jnp.ndarray,
+    *,
+    n_fft: int,
+    hop_length: int,
+    window: str = "hann",
+    power: float = 1.0,
+    exact: int = 2,
+    interpret: bool = False,
+):
+    """[B, T] PCM -> [B, 1 + n_fft//2, 1 + T//hop] |STFT|^power, float32,
+    natural bin order (librosa centre/constant-pad conventions — pinned
+    against ops.stft.stft_magnitude by test).
+
+    Callers must gate on ``mag_geometry(n_fft, hop_length) is not None``.
+    ``exact`` as in pallas_mel_spectrogram (split-bf16 leaf dots); detect
+    uses exact>=1 so median-threshold decisions ride f32-grade magnitudes.
+    """
+    g = mag_geometry(int(n_fft), int(hop_length))
+    if g is None:
+        raise ValueError(
+            "pallas_stft_magnitude: geometry not framed-DIF-eligible — gate "
+            "on mag_geometry(...)"
+        )
+    b, t = y.shape
+    n_frames = 1 + t // hop_length
+    m, c, s = g["m"], g["c"], g["s"]
+    n_slabs = -(-n_frames // c)
+    # slab gather (same trick as ops.stft.frame): slabs start every c*hop
+    # samples, shifted m frames early so kernel frame m+i of slab w IS
+    # global frame w*c+i (the global centre pad = the lead zeros; kernel
+    # frames < m land in each slab's own zero pad and are dropped)
+    stride = c * hop_length
+    kk = -(-s // stride)
+    lead = m * hop_length
+    total = (n_slabs + kk) * stride
+    padded = jnp.pad(y, ((0, 0), (lead, max(0, total - lead - t))))
+    zz = padded[:, :total].reshape(b, n_slabs + kk, stride)
+    win = jnp.concatenate(
+        [zz[:, i : i + n_slabs, :] for i in range(kk)], axis=-1
+    )[..., :s].reshape(b * n_slabs, s)
+
+    consts = _device_weights_dif_mag(int(n_fft), window, int(exact))
+    out = _magspec_core_dif(
+        win, *consts,
+        hop_length=int(hop_length), n_fft=int(n_fft), power=float(power),
+        interpret=interpret, exact=int(exact),
+    )  # [b*n_slabs, f_kernel, 8*bl]
+    bl = consts[-1].shape[-1]
+    out = out.reshape(b, n_slabs, -1, 8 * bl)[:, :, m : m + c, :]
+    out = out.reshape(b, n_slabs * c, 8 * bl)[:, :n_frames]
+    idx = jnp.asarray(leaf_bin_index(int(n_fft), bl))
+    spec = jnp.take(out, idx, axis=2)  # natural bin order
+    return jnp.transpose(spec, (0, 2, 1))

@@ -256,6 +256,66 @@ def test_get_tracks_min_mel_range_filter():
     assert get_tracks_from_signals([s], end=10.0) == []
 
 
+def test_pallas_stft_magnitude_matches_xla(rng):
+    """The split-bf16 magnitude kernel (slab gather + leaf-permuted DIF +
+    natural-order reassembly) matches the XLA STFT to f32 grade across slab
+    boundaries — the integer-bit split keeps the residual parts real under
+    interpret (XLA's simplifier cancels plain convert-pair residuals)."""
+    import jax.numpy as jnp
+
+    from audio_analysis_tpu.ops.pallas.melspec import (
+        mag_geometry,
+        pallas_stft_magnitude,
+    )
+    from audio_analysis_tpu.ops.stft import stft_magnitude
+
+    n_fft, hop = 512, 160
+    assert mag_geometry(n_fft, hop) is not None
+    y = (rng.randn(2, 52000) * 0.3).astype(np.float32)  # several slabs
+    ref = np.asarray(stft_magnitude(jnp.asarray(y), n_fft, hop))
+    got = np.asarray(
+        pallas_stft_magnitude(
+            jnp.asarray(y), n_fft=n_fft, hop_length=hop, exact=2, interpret=True
+        )
+    )
+    assert got.shape == ref.shape
+    den = np.maximum(np.abs(ref), 1e-3 * np.abs(ref).max())
+    assert (np.abs(got - ref) / den).max() < 5e-5
+
+
+@pytest.mark.slow
+def test_detect_program_mag_kernel_mask_parity():
+    """The fused detect program with the Pallas magnitude STFT (exact2)
+    produces the identical packed mask + end-scan outputs to the XLA FFT
+    path on a chirpy fixture (production n_fft=4096 geometry, interpret
+    mode)."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    sn = importlib.import_module("audio_analysis_tpu.detect.signal_noise")
+
+    y = np.stack([
+        _chirpy_recording(seconds=2.5, seed=4),
+        np.concatenate([
+            _chirpy_recording(seconds=1.5, seed=5),
+            np.zeros(SR, np.float32),  # flat tail: end-scan truncates
+        ]),
+    ])
+    nv = jnp.asarray(np.full(2, y.shape[1], np.int32))
+    f0, s0, p0 = sn._fused_detect_batch_program(
+        jnp.asarray(y), nv, sr=SR, hop_length=281, n_fft=4096, pallas_level=0
+    )
+    assert sn._mag_level(3, 4096, 281) == 2
+    f1, s1, p1 = sn._fused_detect_batch_program(
+        jnp.asarray(y), nv, sr=SR, hop_length=281, n_fft=4096,
+        pallas_level=3, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
 def test_detect_batch_empty():
     import numpy as np
     from audio_analysis_tpu.detect.signal_noise import detect_batch

@@ -164,6 +164,11 @@ def test_z_gather_classify_exact_matches_plain(tmp_path, monkeypatch):
         if hasattr(m.pallas_mel_spectrogram, "__wrapped__")
         else partial(m.pallas_mel_spectrogram, interpret=True),
     )
+    # detection inside classify_frames also rides the Pallas mag kernel now
+    monkeypatch.setattr(
+        m, "pallas_stft_magnitude",
+        partial(m.pallas_stft_magnitude, interpret=True),
+    )
 
     a = classify_frames(y, sr, models, False, None, rng=np.random.RandomState(0))
     assert a is not None and len(a[0]) >= 1
