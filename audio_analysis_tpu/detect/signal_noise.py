@@ -182,7 +182,17 @@ def _signal_mask_from_spec(spec, n_valid, *, sr, hop_length, n_fft):
     row_medians, column_medians = _masked_medians_rowcol(
         spec, col_valid, nvf, bins
     )
+    return _mask_threshold_morph(
+        spec, row_medians, column_medians, col_valid,
+        sr=sr, hop_length=hop_length, n_fft=n_fft,
+    )
 
+
+def _mask_threshold_morph(
+    spec, row_medians, column_medians, col_valid, *, sr, hop_length, n_fft
+):
+    """Median thresholds -> bit-packed morphology, shared by the XLA and
+    Pallas-medians paths. `spec` is the a_max-normalised magnitude."""
     mask = (spec > 3 * column_medians) & (spec > 3 * row_medians)
     mask = mask & col_valid[None, :]
 
@@ -448,6 +458,9 @@ def _fused_detect_batch_program(
 
     mag = _mag_level(pallas_level, n_fft, hop_length)
     if mag:
+        from audio_analysis_tpu.ops.pallas.medians import (
+            pallas_masked_medians_rowcol,
+        )
         from audio_analysis_tpu.ops.pallas.melspec import pallas_stft_magnitude
 
         idx = jnp.arange(framesf.shape[1])
@@ -456,11 +469,22 @@ def _fused_detect_batch_program(
         spec = pallas_stft_magnitude(
             fz, n_fft=n_fft, hop_length=hop_length, exact=mag, **kw
         )
+        # batch-level a_max normalisation + the fused-rank-search medians
+        # kernel (bit-identical to _masked_medians_rowcol), then the shared
+        # threshold+morphology tail per recording
+        nvf = 1 + mask_valid // hop_length  # [B]
+        col_valid = jnp.arange(spec.shape[-1])[None, :] < nvf[:, None]
+        a_max = jnp.max(
+            jnp.where(col_valid[:, None, :], spec, 0.0),
+            axis=(1, 2), keepdims=True,
+        )
+        spec_n = spec / a_max
+        row_m, col_m = pallas_masked_medians_rowcol(spec_n, nvf, **kw)
         packed = jax.vmap(
-            lambda s, v: _signal_mask_from_spec(
-                s, v, sr=sr, hop_length=hop_length, n_fft=n_fft
+            lambda s, r, c, v: _mask_threshold_morph(
+                s, r, c, v, sr=sr, hop_length=hop_length, n_fft=n_fft
             )
-        )(spec, mask_valid)
+        )(spec_n, row_m, col_m, col_valid)
     else:
         packed = jax.vmap(
             lambda f, v: _signal_mask(
@@ -671,11 +695,19 @@ def _batch_chunk_flatness(framesf, *, sr, hop_length, level, interpret=False):
     # with partial(..., interpret=True), which an explicit False would
     # override (partial keywords lose to call-site keywords)
     kw = {"interpret": True} if interpret else {}
+    # exact is capped at 1 (2-way split): flatness only compares max==min,
+    # and the decision needs the INPUT representation to keep 1-LSB-distinct
+    # PCM distinct (bf16 z storage at exact=0 could collapse near-constant
+    # frames into structurally identical ones -> false flat ends), which
+    # exact>=1's f32 z layout guarantees; dot rounding beyond that only
+    # perturbs already-distinct outputs and cannot create equality across a
+    # whole chunk. exact=2's third split is pure cost here (measured: the
+    # end-scan is ~42 ms of the fused detect batch at exact=2).
     mel = pallas_mel_spectrogram(
         win,
         sr=sr, n_fft=g["n_fft"], hop_length=hop_length, n_mels=120,
         fmin=50.0, fmax=11000.0, break_freq=1750.0, power=1.0, htk=True,
-        exact=max(0, int(level) - 1), **kw,
+        exact=min(1, max(0, int(level) - 1)), **kw,
     )  # [B*C, 120, f_kernel]
     used = mel[:, :, g["m"] : g["m"] + g["chunk"]]
     mx = jnp.max(used, axis=(1, 2)).reshape(b, n_chunks)

@@ -283,6 +283,48 @@ def test_pallas_stft_magnitude_matches_xla(rng):
     assert (np.abs(got - ref) / den).max() < 5e-5
 
 
+def test_pallas_medians_kernel_matches_numpy_and_xla(rng):
+    """The single-program rank-search medians kernel is exactly np.median on
+    both axes (rows over the valid prefix, columns over all rows) and
+    bit-identical to the XLA _masked_medians_rowcol — including odd/even
+    valid counts, ragged tile edges, and duplicate values."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    sn = importlib.import_module("audio_analysis_tpu.detect.signal_noise")
+    from audio_analysis_tpu.ops.pallas.medians import (
+        pallas_masked_medians_rowcol,
+    )
+
+    bins, t = 37, 700  # odd rows, ragged last column tile
+    spec = np.abs(rng.randn(3, bins, t)).astype(np.float32)
+    spec[0, :, :50] = spec[0, :, 50:100]  # duplicates: tie handling
+    nvfs = np.array([t, 257, 1], np.int32)
+
+    row, col = pallas_masked_medians_rowcol(
+        jnp.asarray(spec), jnp.asarray(nvfs), interpret=True
+    )
+    row, col = np.asarray(row), np.asarray(col)
+    assert row.shape == (3, bins, 1) and col.shape == (3, 1, t)
+
+    for b, nvf in enumerate(nvfs):
+        np.testing.assert_array_equal(
+            row[b, :, 0], np.median(spec[b, :, :nvf], axis=1)
+        )
+        # column medians are over all rows, every column (invalid columns
+        # included — both implementations compute them from raw values)
+        np.testing.assert_array_equal(col[b, 0], np.median(spec[b], axis=0))
+
+        cv = jnp.arange(t) < int(nvf)
+        s_inf = jnp.where(cv[None, :], jnp.asarray(spec[b]), jnp.inf)
+        r_x, c_x = sn._masked_medians_rowcol(s_inf, cv, int(nvf), bins)
+        np.testing.assert_array_equal(row[b], np.asarray(r_x))
+        # XLA takes spec_inf, so ITS invalid-column medians are inf; the
+        # kernel's are raw-valued — both unspecified, compare valid only
+        np.testing.assert_array_equal(col[b, :, :nvf], np.asarray(c_x)[:, :nvf])
+
+
 @pytest.mark.slow
 def test_detect_program_mag_kernel_mask_parity():
     """The fused detect program with the Pallas magnitude STFT (exact2)

@@ -207,10 +207,17 @@ def test_z_gather_classify_matches_plain_pallas(tmp_path, monkeypatch):
         m, "pallas_mel_spectrogram",
         partial(pallas_mel_spectrogram, interpret=True),
     )
-    # detection inside classify_frames also rides the Pallas mag kernel now
+    # detection inside classify_frames also rides the Pallas mag+medians
+    # kernels now
+    from audio_analysis_tpu.ops.pallas import medians as md
+
     monkeypatch.setattr(
         m, "pallas_stft_magnitude",
         partial(m.pallas_stft_magnitude, interpret=True),
+    )
+    monkeypatch.setattr(
+        md, "pallas_masked_medians_rowcol",
+        partial(md.pallas_masked_medians_rowcol, interpret=True),
     )
 
     a = classify_frames(y, sr, models, False, None, rng=np.random.RandomState(0))
