@@ -703,13 +703,27 @@ def _batch_chunk_flatness(framesf, *, sr, hop_length, level, interpret=False):
     # perturbs already-distinct outputs and cannot create equality across a
     # whole chunk. exact=2's third split is pure cost here (measured: the
     # end-scan is ~42 ms of the fused detect batch at exact=2).
+    # in-kernel margin slice: keep = chunk rounded to a sublane multiple
+    # (the kernel's output block), so the margin frames never touch the MXU;
+    # falls back to the full frame range when the rounding wouldn't fit
+    from audio_analysis_tpu.ops.pallas.melspec import z_layout_shapes
+
+    fp = z_layout_shapes(g["n_fft"], hop_length, g["s"])[1]
+    keep = -(-g["chunk"] // 8) * 8
+    if g["m"] + keep > fp:
+        keep = None
     mel = pallas_mel_spectrogram(
         win,
         sr=sr, n_fft=g["n_fft"], hop_length=hop_length, n_mels=120,
         fmin=50.0, fmax=11000.0, break_freq=1750.0, power=1.0, htk=True,
-        exact=min(1, max(0, int(level) - 1)), **kw,
-    )  # [B*C, 120, f_kernel]
-    used = mel[:, :, g["m"] : g["m"] + g["chunk"]]
+        exact=min(1, max(0, int(level) - 1)),
+        frame0=0 if keep is None else g["m"], frames=keep, **kw,
+    )  # [B*C, 120, keep or f_kernel]
+    used = (
+        mel[:, :, : g["chunk"]]
+        if keep is not None
+        else mel[:, :, g["m"] : g["m"] + g["chunk"]]
+    )
     mx = jnp.max(used, axis=(1, 2)).reshape(b, n_chunks)
     mn = jnp.min(used, axis=(1, 2)).reshape(b, n_chunks)
     return mx, mn

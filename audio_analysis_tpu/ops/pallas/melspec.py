@@ -229,18 +229,21 @@ def _dot(a, b):
     )
 
 
-def _frame_in_kernel(z_ref, w_ref, *, n_fft, k, fp):
+def _frame_in_kernel(z_ref, w_ref, *, n_fft, k, fp, row0=0):
     """Framing happens HERE, in VMEM: the input block is one window's padded
     PCM as [rows, hop] (1x the PCM bytes through HBM); frame f is rows
     f..f+k-1 flattened, so the frame matrix is k sublane-shifted slabs
     concatenated along lanes. An XLA-side frame materialisation writes +
     re-reads a [n_frames, n_fft] array at 6.4x the PCM bytes — measured
-    ~6.3 of 13 ms end-to-end on the mel kernel."""
+    ~6.3 of 13 ms end-to-end on the mel kernel. ``row0`` skips leading
+    frames entirely (the mag kernel's slab margin — frames a slab computes
+    only to discard pay full leaf-matmul FLOPs otherwise)."""
     z = z_ref[0].astype(jnp.float32)  # [rows_p, hop]
     # roll-to-offset-0 before slicing: Mosaic cannot concatenate vectors
     # whose sublane offsets differ, and z[i:i+fp] carries offset i mod 8
     slabs = [
-        (jnp.roll(z, -i, axis=0) if i else z)[:fp, :] for i in range(k)
+        (jnp.roll(z, -(row0 + i), axis=0) if row0 + i else z)[:fp, :]
+        for i in range(k)
     ]
     x = jnp.concatenate(slabs, axis=1)
     # window applied here too: an XLA-side multiply would force a separate
@@ -344,11 +347,11 @@ def _exact_machinery(n, use_bits=False):
 
 def _kernel_dif(
     z_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, mel_ref, out_ref,
-    *, power, n_fft, hop, k, bl, n_mels, exact=False, use_bits=False,
+    *, power, n_fft, hop, k, bl, n_mels, exact=False, use_bits=False, row0=0,
 ):
     f32 = jnp.float32
     fp = out_ref.shape[0]
-    x = _frame_in_kernel(z_ref, w_ref, n_fft=n_fft, k=k, fp=fp)
+    x = _frame_in_kernel(z_ref, w_ref, n_fft=n_fft, k=k, fp=fp, row0=row0)
     leaves = _dif_tree(x, tw1_ref, tw2_ref, tw3_ref, n_fft)
 
     bf16 = jnp.bfloat16
@@ -404,16 +407,24 @@ def _kernel_dif(
 
 def _kernel_dif_mag(
     z_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, out_ref,
-    *, power, n_fft, k, bl, exact=0, use_bits=False,
+    *, power, n_fft, k, bl, exact=0, use_bits=False, row0=0, nyq=False,
 ):
     """Magnitude-spectrum variant of _kernel_dif: same in-VMEM framing and
     DIF tree, but each leaf's |X|^power is written straight to its own
     lane-slice of the output (leaf-permuted [fp, 8*bl] layout — see
     leaf_bin_index for the natural-order gather) instead of feeding a mel
     matmul. Serves consumers that need the full linear spectrum (the detect
-    program's median thresholds, reference src/identify_tracks.py:650-656)."""
+    program's median thresholds, reference src/identify_tracks.py:650-656).
+
+    ``row0`` starts framing at that slab frame (the hop-aligned margin —
+    margin frames are pure discard, so they never touch the MXU), and
+    ``nyq`` means the leaf matrices stop one bin short of Nyquist (bl is a
+    clean lane multiple instead of one-bin-over, a 33% matmul cut at
+    n_fft=4096): bin n_fft/2 lives on leaf 0 at j = m3/2 where the DFT
+    column is cos(pi*n) = (-1)^n exactly, so an f32 VPU alternating-sum
+    reconstitutes it — written to lane 0 of a trailing 128-wide chunk."""
     fp = out_ref.shape[0]
-    x = _frame_in_kernel(z_ref, w_ref, n_fft=n_fft, k=k, fp=fp)
+    x = _frame_in_kernel(z_ref, w_ref, n_fft=n_fft, k=k, fp=fp, row0=row0)
     leaves = _dif_tree(x, tw1_ref, tw2_ref, tw3_ref, n_fft)
 
     def epilogue(p):
@@ -436,19 +447,42 @@ def _kernel_dif_mag(
                 xr = rc + dotx(pi, s_ref)
                 xi = dotx(pi, c_ref) - rs
             out_ref[:, b * bl : (b + 1) * bl] = epilogue(xr * xr + xi * xi)
-        return
+    else:
+        bf16 = jnp.bfloat16
+        C, S = c_ref[:], s_ref[:]
+        for b, (r, i) in enumerate(leaves):
+            rb = r.astype(bf16)
+            if i is None:
+                xr, xi = _dot(rb, C), -_dot(rb, S)
+            else:
+                ib = i.astype(bf16)
+                xr = _dot(rb, C) + _dot(ib, S)
+                xi = _dot(ib, C) - _dot(rb, S)
+            out_ref[:, b * bl : (b + 1) * bl] = epilogue(xr * xr + xi * xi)
 
-    bf16 = jnp.bfloat16
-    C, S = c_ref[:], s_ref[:]
-    for b, (r, i) in enumerate(leaves):
-        rb = r.astype(bf16)
-        if i is None:
-            xr, xi = _dot(rb, C), -_dot(rb, S)
-        else:
-            ib = i.astype(bf16)
-            xr = _dot(rb, C) + _dot(ib, S)
-            xi = _dot(ib, C) - _dot(rb, S)
-        out_ref[:, b * bl : (b + 1) * bl] = epilogue(xr * xr + xi * xi)
+    if nyq:
+        # X[n_fft/2] = DFT_m3(leaf0)[m3/2] = sum_n leaf0[n] * (-1)^n — leaf
+        # 0 is the all-real sum branch (tree level sums are exact f32), so
+        # this column is MORE accurate than the split-matmul bins
+        m3 = n_fft // 8
+        r0 = leaves[0][0]  # [fp, m3] f32
+        sign = jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (1, m3), 1) & 1) == 0,
+            jnp.float32(1.0), jnp.float32(-1.0),
+        )
+        t = r0 * sign
+        # pairwise-fold to one lane tile before the reduce: the plain lane
+        # sum's sequential f32 error on this alternating (cancelling) sum
+        # measured 8.7e-5 vs a f64 oracle — worse than the split-matmul
+        # bins; folding matches the FFT's own log-depth error growth
+        while t.shape[1] > 128:
+            h2 = t.shape[1] // 2
+            t = t[:, :h2] + t[:, h2:]
+        v = jnp.sum(t, axis=1, keepdims=True)  # [fp, 1], xi = 0
+        lane = jax.lax.broadcasted_iota(jnp.int32, (fp, 128), 1)
+        out_ref[:, 8 * bl : 8 * bl + 128] = jnp.where(
+            lane == 0, epilogue(v * v), jnp.float32(0.0)
+        )
 
 
 def z_layout_shapes(n_fft: int, hop_length: int, n_samples: int):
@@ -480,12 +514,13 @@ def z_layout(n_fft: int, hop_length: int, n_samples: int):
 @partial(
     jax.jit,
     static_argnames=(
-        "hop_length", "n_fft", "power", "n_samples", "interpret", "exact"
+        "hop_length", "n_fft", "power", "n_samples", "interpret", "exact",
+        "row0", "keep",
     ),
 )
 def _melspec_core_dif(
     windows, w, tw1, tw2, tw3, leaf_c, leaf_s, meld, *, hop_length, n_fft, power,
-    n_samples=None, interpret=False, exact=False
+    n_samples=None, interpret=False, exact=False, row0=0, keep=None,
 ):
     n = windows.shape[0]
     s = int(n_samples) if n_samples is not None else windows.shape[1]
@@ -513,6 +548,9 @@ def _melspec_core_dif(
 
     bl = leaf_c.shape[-1]
     n_mels = meld.shape[-1]
+    out_rows = fp if keep is None else int(keep)
+    if keep is not None and (out_rows % 8 or row0 + out_rows > fp):
+        raise ValueError(f"keep must be a sublane multiple within fp: {keep}")
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
@@ -520,7 +558,7 @@ def _melspec_core_dif(
         partial(
             _kernel_dif,
             power=power, n_fft=n_fft, hop=hop_length, k=k, bl=bl, n_mels=n_mels,
-            exact=exact, use_bits=bool(interpret),
+            exact=exact, use_bits=bool(interpret), row0=int(row0),
         ),
         grid=(n,),
         in_specs=[
@@ -528,18 +566,20 @@ def _melspec_core_dif(
             full(w), full(tw1), full(tw2), full(tw3),
             full(leaf_c), full(leaf_s), full(meld),
         ],
-        out_specs=pl.BlockSpec((fp, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n * fp, n_mels), jnp.float32),
+        out_specs=pl.BlockSpec((out_rows, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * out_rows, n_mels), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=(3 if exact else 1)
-            * (4 * n * fp * n_fft * bl + 2 * n * fp * 8 * bl * n_mels),
+            * (4 * n * out_rows * n_fft * bl + 2 * n * out_rows * 8 * bl * n_mels),
             bytes_accessed=n * rows_p * hop_length * (4 if exact else 2),
             transcendentals=0,
         ),
         interpret=interpret,
     )(z, w, tw1, tw2, tw3, leaf_c, leaf_s, meld)
 
-    out = out.reshape(n, fp, n_mels)[:, :f]
+    out = out.reshape(n, out_rows, n_mels)
+    if keep is None:
+        out = out[:, :f]
     return jnp.transpose(out, (0, 2, 1))
 
 
@@ -650,9 +690,16 @@ def pallas_mel_spectrogram(
     n_samples: int = None,
     interpret: bool = False,
     exact: bool = False,
+    frame0: int = 0,
+    frames: int = None,
 ) -> jnp.ndarray:
     """[N, S] PCM windows -> [N, n_mels, F] mel spectrograms
     (librosa STFT conventions: centre/constant padding).
+
+    ``frame0``/``frames``: emit only kernel frames [frame0, frame0+frames)
+    — the caller's margin slice done BEFORE the leaf matmuls (margin frames
+    never touch the MXU). ``frames`` must be a sublane multiple that fits
+    the padded frame count; framed-DIF path only.
 
     ``windows_is_z=True``: the input is already in the framed-DIF kernel's
     flat z layout (see ``z_layout``; requires ``n_samples`` for the true
@@ -682,6 +729,7 @@ def pallas_mel_spectrogram(
             windows, *consts,
             hop_length=int(hop_length), n_fft=int(n_fft), power=float(power),
             n_samples=int(n_samples), interpret=interpret, exact=int(exact),
+            row0=int(frame0), keep=None if frames is None else int(frames),
         )
     f = 1 + windows.shape[-1] // int(hop_length)
     if _use_dif(int(n_fft)) and f <= MAX_FRAMES_PER_WINDOW:
@@ -693,7 +741,10 @@ def pallas_mel_spectrogram(
             windows, *consts,
             hop_length=int(hop_length), n_fft=int(n_fft), power=float(power),
             interpret=interpret, exact=int(exact),
+            row0=int(frame0), keep=None if frames is None else int(frames),
         )
+    if frames is not None:
+        raise ValueError("frame0/frames requires the framed-DIF kernel")
     if exact:
         raise ValueError(
             "exact=True requires the framed-DIF kernel (n_fft % 8 == 0 and "
@@ -723,20 +774,36 @@ def pallas_mel_spectrogram(
 # ---------------------------------------------------------------------------
 
 
-def leaf_bin_index(n_fft: int, bl: int) -> np.ndarray:
+def leaf_bin_index(n_fft: int, bl: int, nyq: bool = False) -> np.ndarray:
     """Column index into the [., 8*bl] leaf-permuted layout for each natural
-    rfft bin k: leaf b = off^-1(k mod 8), column b*bl + k//8."""
+    rfft bin k: leaf b = off^-1(k mod 8), column b*bl + k//8. With ``nyq``
+    (the Nyquist-special layout, see _nyq_special) bin n_fft/2 instead maps
+    to lane 0 of the trailing 128-wide chunk at column 8*bl."""
     inv = {off: b for b, off in enumerate(_LEAF_OFF)}
     k = np.arange(1 + n_fft // 2)
-    return (np.vectorize(inv.get)(k % 8) * bl + k // 8).astype(np.int32)
+    idx = (np.vectorize(inv.get)(k % 8) * bl + k // 8).astype(np.int32)
+    if nyq:
+        idx[-1] = 8 * bl
+    return idx
+
+
+def _nyq_special(n_fft: int) -> bool:
+    """Whether the mag kernel's leaf matrices drop the Nyquist bin. The
+    full-spectrum bin count per leaf is n_fft//16 + 1 for leaf 0 — one bin
+    over a lane tile whenever n_fft//16 is a lane multiple, which would pad
+    bl a full 128 lanes up (384 instead of 256 at n_fft=4096: +50% matmul
+    FLOPs for one real column). Dropping it makes bl exactly n_fft//16 and
+    the kernel reconstitutes the bin with an exact alternating sum."""
+    return n_fft >= 2048 and (n_fft // 16) % 128 == 0
 
 
 def _device_weights_dif_mag(n_fft, window, exact=0):
     key = ("difmag", n_fft, window, int(exact))
     got = _DEVICE_WEIGHTS.get(key)
     if got is None:
+        bins = n_fft // 2 if _nyq_special(n_fft) else 1 + n_fft // 2
         w, tw1, tw2, tw3, leaf_c, leaf_s, bl = _dif_consts(
-            n_fft, window, 1 + n_fft // 2, int(exact)
+            n_fft, window, bins, int(exact)
         )
         with jax.ensure_compile_time_eval():
             got = tuple(jnp.asarray(a) for a in (w, tw1, tw2, tw3, leaf_c, leaf_s))
@@ -754,7 +821,7 @@ def mag_chunk_frames(n_fft: int, hop_length: int) -> int:
 
     v = os.environ.get("AAT_MAG_CHUNK")
     if v:
-        return int(v)
+        return -(-int(v) // 8) * 8  # sublane multiple (the kernel's out block)
     return 160
 
 
@@ -774,13 +841,20 @@ def mag_geometry(n_fft: int, hop_length: int):
 
 @partial(
     jax.jit,
-    static_argnames=("hop_length", "n_fft", "power", "interpret", "exact"),
+    static_argnames=(
+        "hop_length", "n_fft", "power", "interpret", "exact", "row0", "keep",
+        "nyq",
+    ),
 )
 def _magspec_core_dif(
     windows, w, tw1, tw2, tw3, leaf_c, leaf_s,
     *, hop_length, n_fft, power, interpret=False, exact=0,
+    row0=0, keep=None, nyq=False,
 ):
-    """[N, S] PCM windows -> [N, f, 8*bl] leaf-permuted |X|^power (f32)."""
+    """[N, S] PCM windows -> leaf-permuted |X|^power (f32): [N, f, 8*bl]
+    (frames 0..f), or [N, keep, cols] when ``keep`` is set — the kernel
+    frames/computes ONLY slab frames [row0, row0+keep) (the caller's margin
+    slice, done before the leaf matmuls instead of after the kernel)."""
     n, s = windows.shape
     f = 1 + s // hop_length
     rows_p, fp, k = z_layout_shapes(n_fft, hop_length, s)
@@ -790,6 +864,10 @@ def _magspec_core_dif(
     ).astype(z_dtype).reshape(n, rows_p, hop_length)
 
     bl = leaf_c.shape[-1]
+    cols = 8 * bl + (128 if nyq else 0)
+    out_rows = fp if keep is None else int(keep)
+    if keep is not None and (out_rows % 8 or row0 + out_rows > fp):
+        raise ValueError(f"keep must be a sublane multiple within fp: {keep}")
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
@@ -797,7 +875,7 @@ def _magspec_core_dif(
         partial(
             _kernel_dif_mag,
             power=power, n_fft=n_fft, k=k, bl=bl, exact=exact,
-            use_bits=bool(interpret),
+            use_bits=bool(interpret), row0=int(row0), nyq=nyq,
         ),
         grid=(n,),
         in_specs=[
@@ -805,18 +883,19 @@ def _magspec_core_dif(
             full(w), full(tw1), full(tw2), full(tw3),
             full(leaf_c), full(leaf_s),
         ],
-        out_specs=pl.BlockSpec((fp, 8 * bl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n * fp, 8 * bl), jnp.float32),
+        out_specs=pl.BlockSpec((out_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * out_rows, cols), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=(3 if int(exact) == 2 else (2 if exact else 1))
-            * 4 * n * fp * n_fft * bl,
+            * 4 * n * out_rows * n_fft * bl,
             bytes_accessed=n * rows_p * hop_length * (4 if exact else 2)
-            + n * fp * 8 * bl * 4,
+            + n * out_rows * cols * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(z, w, tw1, tw2, tw3, leaf_c, leaf_s)
-    return out.reshape(n, fp, 8 * bl)[:, :f]
+    out = out.reshape(n, out_rows, cols)
+    return out if keep is not None else out[:, :f]
 
 
 def pallas_stft_magnitude(
@@ -862,14 +941,14 @@ def pallas_stft_magnitude(
     )[..., :s].reshape(b * n_slabs, s)
 
     consts = _device_weights_dif_mag(int(n_fft), window, int(exact))
+    nyq = _nyq_special(int(n_fft))
     out = _magspec_core_dif(
         win, *consts,
         hop_length=int(hop_length), n_fft=int(n_fft), power=float(power),
-        interpret=interpret, exact=int(exact),
-    )  # [b*n_slabs, f_kernel, 8*bl]
+        interpret=interpret, exact=int(exact), row0=m, keep=c, nyq=nyq,
+    )  # [b*n_slabs, c, cols] — margin already dropped in-kernel
     bl = consts[-1].shape[-1]
-    out = out.reshape(b, n_slabs, -1, 8 * bl)[:, :, m : m + c, :]
-    out = out.reshape(b, n_slabs * c, 8 * bl)[:, :n_frames]
-    idx = jnp.asarray(leaf_bin_index(int(n_fft), bl))
+    out = out.reshape(b, n_slabs * c, -1)[:, :n_frames]
+    idx = jnp.asarray(leaf_bin_index(int(n_fft), bl, nyq))
     spec = jnp.take(out, idx, axis=2)  # natural bin order
     return jnp.transpose(spec, (0, 2, 1))

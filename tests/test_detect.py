@@ -283,6 +283,37 @@ def test_pallas_stft_magnitude_matches_xla(rng):
     assert (np.abs(got - ref) / den).max() < 5e-5
 
 
+def test_pallas_stft_magnitude_nyquist_layout(rng):
+    """At n_fft=4096 the mag kernel drops the Nyquist bin from the leaf
+    matrices (bl 384 -> 256, a 33% matmul cut) and reconstitutes it with an
+    in-kernel pairwise-folded alternating sum; the margin frames are sliced
+    in-kernel (row0/keep). Both must stay f32-grade vs the XLA STFT across
+    slab boundaries, Nyquist row included."""
+    import jax.numpy as jnp
+
+    from audio_analysis_tpu.ops.pallas.melspec import (
+        _nyq_special,
+        mag_geometry,
+        pallas_stft_magnitude,
+    )
+    from audio_analysis_tpu.ops.stft import stft_magnitude
+
+    n_fft, hop = 4096, 281
+    assert _nyq_special(n_fft) and mag_geometry(n_fft, hop) is not None
+    y = (rng.randn(1, 50000) * 0.3).astype(np.float32)
+    ref = np.asarray(stft_magnitude(jnp.asarray(y), n_fft, hop))
+    got = np.asarray(
+        pallas_stft_magnitude(
+            jnp.asarray(y), n_fft=n_fft, hop_length=hop, exact=2, interpret=True
+        )
+    )
+    assert got.shape == ref.shape
+    den = np.maximum(np.abs(ref), 1e-3 * np.abs(ref).max())
+    rel = np.abs(got - ref) / den
+    assert rel.max() < 2e-4
+    assert rel[:, -1, :].max() < 2e-4  # the reconstituted Nyquist row
+
+
 def test_pallas_medians_kernel_matches_numpy_and_xla(rng):
     """The single-program rank-search medians kernel is exactly np.median on
     both axes (rows over the valid prefix, columns over all rows) and
