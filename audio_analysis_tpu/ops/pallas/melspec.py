@@ -124,15 +124,19 @@ def _kernel(fr_ref, wr_ref, wi_ref, mel_ref, out_ref, *, power):
 
 
 # ---------------------------------------------------------------------------
-# DIF-factored kernel (the default): a 3-level decimation-in-frequency tree
-# cuts the DFT matmul FLOPs 4x vs the direct-DFT kernel above while keeping
-# every matmul MXU-shaped.
+# DIF-factored kernel (the default): a decimation-in-frequency tree of
+# adaptive depth (3-5 levels, see _dif_levels) cuts the DFT matmul FLOPs
+# 4-8x vs the direct-DFT kernel above while keeping every matmul MXU-shaped.
 #
 # DIF split (classic): DFT_N(x)[2k] = DFT_{N/2}(x[n]+x[n+N/2])[k] and
 # DFT_N(x)[2k+1] = DFT_{N/2}((x[n]-x[n+N/2])*e^{-2pi i n/N})[k]. Applied
-# three times, a frame becomes 8 leaf sequences of length N/8; leaf b holds
-# exactly the bins k = 8j + off_b (off order [0,4,2,6,1,5,3,7] — validated
-# to 1e-12 against np.fft.rfft in the numpy prototype behind the tests).
+# L times, a frame becomes 2^L leaf sequences of length N/2^L; leaf b holds
+# exactly the bins k = 2^L*j + off_b (off = the bit-reversal permutation —
+# validated to 1e-13 against np.fft for L in 3..5 in the numpy prototype
+# behind the tests). The depth deepens past 3 only while it still shrinks
+# the padded leaf width (the 128-lane floor): full-spectrum n_fft=4096 runs
+# L=4 (16x[256,128] — half the FLOPs of 8x[512,256]), the mel kernels stay
+# at L=3 when their support already fits one lane tile per leaf.
 # The branch prep (adds + twiddle rotations) is cheap f32 VPU work that
 # scales as N*levels; the leaf DFTs are 4 real matmuls [BF, N/8] @ [N/8, BL]
 # per leaf = 4*N*B/8 MACs/frame vs the direct kernel's 2*N*B — 4x fewer,
@@ -156,13 +160,45 @@ def _kernel(fr_ref, wr_ref, wi_ref, mel_ref, out_ref, *, power):
 MAX_FRAMES_PER_WINDOW = 320
 
 
+def _dif_levels(n_fft: int, bins_used: int) -> int:
+    """DIF tree depth for this shape: start at the base 3 levels (8 leaves)
+    and deepen while another level still shrinks the padded leaf width bl
+    (i.e. bins-per-leaf is above the 128-lane floor) and the shape allows it
+    (n_fft divisible, leaf length kept >= 128 so the leaf matmul K dim stays
+    MXU-efficient). Each extra level HALVES the leaf-matmul FLOPs until bl
+    bottoms out: full-spectrum n_fft=4096 goes 8x[512,256] -> 16x[256,128]
+    (2x), and the end-scan's 1101-bin support at n_fft=4800 stops padding
+    138 bins up to a 256 tile."""
+    L = 3
+    while (
+        -(-bins_used // (1 << L)) > 128
+        and n_fft % (1 << (L + 1)) == 0
+        and (n_fft >> (L + 1)) >= 128
+    ):
+        L += 1
+    return L
+
+
+def _leaf_off(levels: int) -> tuple:
+    """Residue class of each leaf in tree-emit order (sum branch first at
+    every level): leaf b covers final bins 2^levels * j + off[b]. This is
+    the bit-reversal permutation — validated against np.fft for levels 3-5
+    in the numpy prototype behind the tests."""
+    return tuple(
+        int(format(b, f"0{levels}b")[::-1], 2) for b in range(1 << levels)
+    )
+
+
 @lru_cache(maxsize=8)
-def _dif_consts(n_fft: int, window: str, bins_used: int, exact: bool = False):
-    """Constants for the DIF kernel: window row, per-level twiddle pairs,
-    leaf DFT matrices (bf16; f32 when ``exact``), and the leaf-permuted
-    layout parameters."""
-    m3 = n_fft // 8
-    nb = -(-bins_used // 8)  # bins per leaf
+def _dif_consts(
+    n_fft: int, window: str, bins_used: int, exact: bool = False, levels: int = 3
+):
+    """Constants for the DIF kernel: window row, per-level twiddle pairs
+    (a tuple of ``levels`` arrays), leaf DFT matrices (bf16; split-packed
+    f32 when ``exact``), and the padded leaf width bl."""
+    n_leaves = 1 << levels
+    m_leaf = n_fft // n_leaves
+    nb = -(-bins_used // n_leaves)  # bins per leaf
     bl = max(128, -(-nb // 128) * 128)  # padded to a lane tile
     w = get_window_np(window, n_fft, periodic=True).astype(np.float32)[None, :]
 
@@ -172,23 +208,23 @@ def _dif_consts(n_fft: int, window: str, bins_used: int, exact: bool = False):
             [np.cos(2 * np.pi * n / nl), np.sin(2 * np.pi * n / nl)]
         ).astype(np.float32)
 
-    tw1 = tw(n_fft // 2, n_fft)
-    tw2 = tw(n_fft // 4, n_fft // 2)
-    tw3 = tw(n_fft // 8, n_fft // 4)
-    n = np.arange(m3)
+    tws = tuple(
+        tw(n_fft >> (l + 1), n_fft >> l) for l in range(levels)
+    )
+    n = np.arange(m_leaf)
     j = np.arange(bl)
-    ang = 2.0 * np.pi * np.outer(n, j) / m3
+    ang = 2.0 * np.pi * np.outer(n, j) / m_leaf
     if exact:
-        # n-way bf16 split stacks, packed [n, m3, bl]: operand = sum(parts)
-        # with each residual 2^-9 of the previous — the kernel's split
-        # matmuls recover ~f32 products from bf16 MXU passes
+        # n-way bf16 split stacks, packed [n, m_leaf, bl]: operand =
+        # sum(parts) with each residual 2^-9 of the previous — the kernel's
+        # split matmuls recover ~f32 products from bf16 MXU passes
         n_split = 2 if int(exact) == 1 else 3
         leaf_c = _split_pack(np.cos(ang).astype(np.float32), n_split)
         leaf_s = _split_pack(np.sin(ang).astype(np.float32), n_split)
     else:
         leaf_c = np.cos(ang).astype(jnp.bfloat16)
         leaf_s = np.sin(ang).astype(jnp.bfloat16)
-    return w, tw1, tw2, tw3, leaf_c, leaf_s, bl
+    return w, tws, leaf_c, leaf_s, bl
 
 
 def _split_pack(a: np.ndarray, n: int = 2) -> np.ndarray:
@@ -203,19 +239,18 @@ def _split_pack(a: np.ndarray, n: int = 2) -> np.ndarray:
     return np.stack(parts)
 
 
-# residue class of each leaf in tree-emit order (sum-before-twiddle at every
-# level): leaf b covers final bins 8j + _LEAF_OFF[b]
-_LEAF_OFF = (0, 4, 2, 6, 1, 5, 3, 7)
-
-
 @lru_cache(maxsize=16)
-def _mel_mat_dif(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bl, exact=False):
-    """[8*bl, n_mels] leaf-permuted mel matrix: row (b, j) carries the mel
-    weights of bin 8j + _LEAF_OFF[b] (zero rows for j past the support)."""
+def _mel_mat_dif(
+    sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bl, exact=False, levels=3
+):
+    """[n_leaves*bl, n_mels] leaf-permuted mel matrix: row (b, j) carries
+    the mel weights of bin 2^levels*j + off[b] (zero rows past the
+    support)."""
     fb = _fb_np(sr, n_mels, fmin, fmax, n_fft, break_freq, htk)  # [m, bins]
-    out = np.zeros((8 * bl, fb.shape[0]), np.float32)
-    for b, off in enumerate(_LEAF_OFF):
-        k = off + 8 * np.arange(bl)
+    n_leaves = 1 << levels
+    out = np.zeros((n_leaves * bl, fb.shape[0]), np.float32)
+    for b, off in enumerate(_leaf_off(levels)):
+        k = off + n_leaves * np.arange(bl)
         valid = k < fb.shape[1]
         out[b * bl : b * bl + int(valid.sum())] = fb.T[k[valid]]
     if exact:
@@ -251,11 +286,11 @@ def _frame_in_kernel(z_ref, w_ref, *, n_fft, k, fp, row0=0):
     return x[:, :n_fft] * w_ref[:]
 
 
-def _dif_tree(x, tw1_ref, tw2_ref, tw3_ref, n_fft):
-    """3-level DIF butterfly over the windowed frame matrix: returns the 8
-    leaf sequences [(real, imag-or-None), ...] in tree-emit order (leaf b
-    holds final bins 8j + _LEAF_OFF[b]). All f32 VPU work — exact."""
-    h = n_fft // 2
+def _dif_tree(x, tw_refs, n_fft):
+    """len(tw_refs)-level DIF butterfly over the windowed frame matrix:
+    returns the 2^levels leaf sequences [(real, imag-or-None), ...] in
+    tree-emit order (leaf b holds final bins 2^levels*j + _leaf_off[b]).
+    All f32 VPU work — exact."""
 
     def split_c(r, i, q, c, s):
         """Complex branch (r, i) of length 2q -> (sum branch, twiddled diff)."""
@@ -270,23 +305,16 @@ def _dif_tree(x, tw1_ref, tw2_ref, tw3_ref, n_fft):
             (r[:, q:] - r[:, :q]) * s,  # -(d * s) without a negate pass
         )
 
-    c1, s1 = tw1_ref[0:1, :], tw1_ref[1:2, :]
-    c2, s2 = tw2_ref[0:1, :], tw2_ref[1:2, :]
-    c3, s3 = tw3_ref[0:1, :], tw3_ref[1:2, :]
-    lvl1 = split_r(x, h, c1, s1)  # (u real), (v complex)
-    lvl2 = []
-    q2 = h // 2
-    for r, i in lvl1:
-        lvl2.extend(
-            split_r(r, q2, c2, s2) if i is None else split_c(r, i, q2, c2, s2)
-        )
-    leaves = []
-    q3 = q2 // 2
-    for r, i in lvl2:
-        leaves.extend(
-            split_r(r, q3, c3, s3) if i is None else split_c(r, i, q3, c3, s3)
-        )
-    return leaves
+    branches = [(x, None)]
+    q = n_fft // 2
+    for tw in tw_refs:
+        c, s = tw[0:1, :], tw[1:2, :]
+        nxt = []
+        for r, i in branches:
+            nxt.extend(split_r(r, q, c, s) if i is None else split_c(r, i, q, c, s))
+        branches = nxt
+        q //= 2
+    return branches
 
 
 def _bf16_hi(a):
@@ -346,13 +374,15 @@ def _exact_machinery(n, use_bits=False):
 
 
 def _kernel_dif(
-    z_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, mel_ref, out_ref,
-    *, power, n_fft, hop, k, bl, n_mels, exact=False, use_bits=False, row0=0,
+    z_ref, w_ref, *refs,
+    power, n_fft, hop, k, bl, n_mels, levels=3, exact=False, use_bits=False,
+    row0=0,
 ):
+    tw_refs, (c_ref, s_ref, mel_ref, out_ref) = refs[:levels], refs[levels:]
     f32 = jnp.float32
     fp = out_ref.shape[0]
     x = _frame_in_kernel(z_ref, w_ref, n_fft=n_fft, k=k, fp=fp, row0=row0)
-    leaves = _dif_tree(x, tw1_ref, tw2_ref, tw3_ref, n_fft)
+    leaves = _dif_tree(x, tw_refs, n_fft)
 
     bf16 = jnp.bfloat16
     if exact:
@@ -406,12 +436,12 @@ def _kernel_dif(
 
 
 def _kernel_dif_mag(
-    z_ref, w_ref, tw1_ref, tw2_ref, tw3_ref, c_ref, s_ref, out_ref,
-    *, power, n_fft, k, bl, exact=0, use_bits=False, row0=0, nyq=False,
+    z_ref, w_ref, *refs,
+    power, n_fft, k, bl, levels=3, exact=0, use_bits=False, row0=0, nyq=False,
 ):
     """Magnitude-spectrum variant of _kernel_dif: same in-VMEM framing and
     DIF tree, but each leaf's |X|^power is written straight to its own
-    lane-slice of the output (leaf-permuted [fp, 8*bl] layout — see
+    lane-slice of the output (leaf-permuted [fp, n_leaves*bl] layout — see
     leaf_bin_index for the natural-order gather) instead of feeding a mel
     matmul. Serves consumers that need the full linear spectrum (the detect
     program's median thresholds, reference src/identify_tracks.py:650-656).
@@ -419,13 +449,14 @@ def _kernel_dif_mag(
     ``row0`` starts framing at that slab frame (the hop-aligned margin —
     margin frames are pure discard, so they never touch the MXU), and
     ``nyq`` means the leaf matrices stop one bin short of Nyquist (bl is a
-    clean lane multiple instead of one-bin-over, a 33% matmul cut at
-    n_fft=4096): bin n_fft/2 lives on leaf 0 at j = m3/2 where the DFT
-    column is cos(pi*n) = (-1)^n exactly, so an f32 VPU alternating-sum
-    reconstitutes it — written to lane 0 of a trailing 128-wide chunk."""
+    clean lane multiple instead of one-bin-over): bin n_fft/2 lives on leaf
+    0 at j = m_leaf/2 where the DFT column is cos(pi*n) = (-1)^n exactly,
+    so an f32 VPU alternating-sum reconstitutes it — written to lane 0 of
+    a trailing 128-wide chunk."""
+    tw_refs, (c_ref, s_ref, out_ref) = refs[:levels], refs[levels:]
     fp = out_ref.shape[0]
     x = _frame_in_kernel(z_ref, w_ref, n_fft=n_fft, k=k, fp=fp, row0=row0)
-    leaves = _dif_tree(x, tw1_ref, tw2_ref, tw3_ref, n_fft)
+    leaves = _dif_tree(x, tw_refs, n_fft)
 
     def epilogue(p):
         if power == 1.0:
@@ -461,13 +492,13 @@ def _kernel_dif_mag(
             out_ref[:, b * bl : (b + 1) * bl] = epilogue(xr * xr + xi * xi)
 
     if nyq:
-        # X[n_fft/2] = DFT_m3(leaf0)[m3/2] = sum_n leaf0[n] * (-1)^n — leaf
+        # X[n_fft/2] = DFT_m(leaf0)[m/2] = sum_n leaf0[n] * (-1)^n — leaf
         # 0 is the all-real sum branch (tree level sums are exact f32), so
         # this column is MORE accurate than the split-matmul bins
-        m3 = n_fft // 8
-        r0 = leaves[0][0]  # [fp, m3] f32
+        m_leaf = n_fft >> levels
+        r0 = leaves[0][0]  # [fp, m_leaf] f32
         sign = jnp.where(
-            (jax.lax.broadcasted_iota(jnp.int32, (1, m3), 1) & 1) == 0,
+            (jax.lax.broadcasted_iota(jnp.int32, (1, m_leaf), 1) & 1) == 0,
             jnp.float32(1.0), jnp.float32(-1.0),
         )
         t = r0 * sign
@@ -479,8 +510,9 @@ def _kernel_dif_mag(
             h2 = t.shape[1] // 2
             t = t[:, :h2] + t[:, h2:]
         v = jnp.sum(t, axis=1, keepdims=True)  # [fp, 1], xi = 0
+        nb_cols = (1 << levels) * bl
         lane = jax.lax.broadcasted_iota(jnp.int32, (fp, 128), 1)
-        out_ref[:, 8 * bl : 8 * bl + 128] = jnp.where(
+        out_ref[:, nb_cols : nb_cols + 128] = jnp.where(
             lane == 0, epilogue(v * v), jnp.float32(0.0)
         )
 
@@ -519,9 +551,10 @@ def z_layout(n_fft: int, hop_length: int, n_samples: int):
     ),
 )
 def _melspec_core_dif(
-    windows, w, tw1, tw2, tw3, leaf_c, leaf_s, meld, *, hop_length, n_fft, power,
+    windows, w, tws, leaf_c, leaf_s, meld, *, hop_length, n_fft, power,
     n_samples=None, interpret=False, exact=False, row0=0, keep=None,
 ):
+    levels = len(tws)  # tree depth is carried by the constants themselves
     n = windows.shape[0]
     s = int(n_samples) if n_samples is not None else windows.shape[1]
     f = 1 + s // hop_length
@@ -558,24 +591,27 @@ def _melspec_core_dif(
         partial(
             _kernel_dif,
             power=power, n_fft=n_fft, hop=hop_length, k=k, bl=bl, n_mels=n_mels,
-            exact=exact, use_bits=bool(interpret), row0=int(row0),
+            levels=levels, exact=exact, use_bits=bool(interpret), row0=int(row0),
         ),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, rows_p, hop_length), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full(w), full(tw1), full(tw2), full(tw3),
+            full(w), *(full(t) for t in tws),
             full(leaf_c), full(leaf_s), full(meld),
         ],
         out_specs=pl.BlockSpec((out_rows, n_mels), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * out_rows, n_mels), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=(3 if exact else 1)
-            * (4 * n * out_rows * n_fft * bl + 2 * n * out_rows * 8 * bl * n_mels),
+            * (
+                4 * n * out_rows * n_fft * bl
+                + 2 * n * out_rows * (1 << levels) * bl * n_mels
+            ),
             bytes_accessed=n * rows_p * hop_length * (4 if exact else 2),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(z, w, tw1, tw2, tw3, leaf_c, leaf_s, meld)
+    )(z, w, *tws, leaf_c, leaf_s, meld)
 
     out = out.reshape(n, out_rows, n_mels)
     if keep is None:
@@ -594,10 +630,19 @@ def _device_weights_dif(sr, n_fft, n_mels, fmin, fmax, break_freq, htk, window, 
     got = _DEVICE_WEIGHTS.get(key)
     if got is None:
         bins_used = mel_support_bins(sr, n_mels, fmin, fmax, n_fft, break_freq, htk)
-        w, tw1, tw2, tw3, leaf_c, leaf_s, bl = _dif_consts(n_fft, window, bins_used, exact)
-        meld = _mel_mat_dif(sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bl, exact)
+        levels = _dif_levels(n_fft, bins_used)
+        w, tws, leaf_c, leaf_s, bl = _dif_consts(
+            n_fft, window, bins_used, exact, levels
+        )
+        meld = _mel_mat_dif(
+            sr, n_mels, fmin, fmax, n_fft, break_freq, htk, bl, exact, levels
+        )
         with jax.ensure_compile_time_eval():
-            got = tuple(jnp.asarray(a) for a in (w, tw1, tw2, tw3, leaf_c, leaf_s, meld))
+            got = (
+                jnp.asarray(w),
+                tuple(jnp.asarray(t) for t in tws),
+                jnp.asarray(leaf_c), jnp.asarray(leaf_s), jnp.asarray(meld),
+            )
         _DEVICE_WEIGHTS[key] = got
     return got
 
@@ -774,39 +819,61 @@ def pallas_mel_spectrogram(
 # ---------------------------------------------------------------------------
 
 
-def leaf_bin_index(n_fft: int, bl: int, nyq: bool = False) -> np.ndarray:
-    """Column index into the [., 8*bl] leaf-permuted layout for each natural
-    rfft bin k: leaf b = off^-1(k mod 8), column b*bl + k//8. With ``nyq``
-    (the Nyquist-special layout, see _nyq_special) bin n_fft/2 instead maps
-    to lane 0 of the trailing 128-wide chunk at column 8*bl."""
-    inv = {off: b for b, off in enumerate(_LEAF_OFF)}
+def leaf_bin_index(
+    n_fft: int, bl: int, nyq: bool = False, levels: int = 3
+) -> np.ndarray:
+    """Column index into the [., n_leaves*bl] leaf-permuted layout for each
+    natural rfft bin k: leaf b = off^-1(k mod n_leaves), column b*bl +
+    k//n_leaves. With ``nyq`` (the Nyquist-special layout, see _mag_layout)
+    bin n_fft/2 instead maps to lane 0 of the trailing 128-wide chunk."""
+    n_leaves = 1 << levels
+    inv = {off: b for b, off in enumerate(_leaf_off(levels))}
     k = np.arange(1 + n_fft // 2)
-    idx = (np.vectorize(inv.get)(k % 8) * bl + k // 8).astype(np.int32)
+    idx = (
+        np.vectorize(inv.get)(k % n_leaves) * bl + k // n_leaves
+    ).astype(np.int32)
     if nyq:
-        idx[-1] = 8 * bl
+        idx[-1] = n_leaves * bl
     return idx
 
 
+def _mag_layout(n_fft: int):
+    """(bins, levels, nyq) of the mag kernel's full-spectrum leaf layout.
+
+    Drop the Nyquist bin from the leaf matrices whenever the remaining
+    n_fft/2 bins then tile the leaves EXACTLY (bins-per-leaf a lane
+    multiple) — otherwise its one extra column on leaf 0 pads bl a full
+    128 lanes up (384 instead of 256 at n_fft=4096 with the base 3-level
+    tree: +50% matmul FLOPs for one real column). The dropped bin is
+    reconstituted in-kernel by an exact alternating sum."""
+    full_bins = 1 + n_fft // 2
+    bins = n_fft // 2
+    levels = _dif_levels(n_fft, bins)
+    nyq = bins % (1 << levels) == 0 and (bins >> levels) % 128 == 0
+    if not nyq:
+        bins = full_bins
+        levels = _dif_levels(n_fft, bins)
+    return bins, levels, nyq
+
+
 def _nyq_special(n_fft: int) -> bool:
-    """Whether the mag kernel's leaf matrices drop the Nyquist bin. The
-    full-spectrum bin count per leaf is n_fft//16 + 1 for leaf 0 — one bin
-    over a lane tile whenever n_fft//16 is a lane multiple, which would pad
-    bl a full 128 lanes up (384 instead of 256 at n_fft=4096: +50% matmul
-    FLOPs for one real column). Dropping it makes bl exactly n_fft//16 and
-    the kernel reconstitutes the bin with an exact alternating sum."""
-    return n_fft >= 2048 and (n_fft // 16) % 128 == 0
+    return _mag_layout(n_fft)[2]
 
 
 def _device_weights_dif_mag(n_fft, window, exact=0):
     key = ("difmag", n_fft, window, int(exact))
     got = _DEVICE_WEIGHTS.get(key)
     if got is None:
-        bins = n_fft // 2 if _nyq_special(n_fft) else 1 + n_fft // 2
-        w, tw1, tw2, tw3, leaf_c, leaf_s, bl = _dif_consts(
-            n_fft, window, bins, int(exact)
+        bins, levels, _nyq = _mag_layout(n_fft)
+        w, tws, leaf_c, leaf_s, bl = _dif_consts(
+            n_fft, window, bins, int(exact), levels
         )
         with jax.ensure_compile_time_eval():
-            got = tuple(jnp.asarray(a) for a in (w, tw1, tw2, tw3, leaf_c, leaf_s))
+            got = (
+                jnp.asarray(w),
+                tuple(jnp.asarray(t) for t in tws),
+                jnp.asarray(leaf_c), jnp.asarray(leaf_s),
+            )
         _DEVICE_WEIGHTS[key] = got
     return got
 
@@ -847,14 +914,15 @@ def mag_geometry(n_fft: int, hop_length: int):
     ),
 )
 def _magspec_core_dif(
-    windows, w, tw1, tw2, tw3, leaf_c, leaf_s,
+    windows, w, tws, leaf_c, leaf_s,
     *, hop_length, n_fft, power, interpret=False, exact=0,
     row0=0, keep=None, nyq=False,
 ):
-    """[N, S] PCM windows -> leaf-permuted |X|^power (f32): [N, f, 8*bl]
+    """[N, S] PCM windows -> leaf-permuted |X|^power (f32): [N, f, cols]
     (frames 0..f), or [N, keep, cols] when ``keep`` is set — the kernel
     frames/computes ONLY slab frames [row0, row0+keep) (the caller's margin
     slice, done before the leaf matmuls instead of after the kernel)."""
+    levels = len(tws)
     n, s = windows.shape
     f = 1 + s // hop_length
     rows_p, fp, k = z_layout_shapes(n_fft, hop_length, s)
@@ -864,7 +932,7 @@ def _magspec_core_dif(
     ).astype(z_dtype).reshape(n, rows_p, hop_length)
 
     bl = leaf_c.shape[-1]
-    cols = 8 * bl + (128 if nyq else 0)
+    cols = (1 << levels) * bl + (128 if nyq else 0)
     out_rows = fp if keep is None else int(keep)
     if keep is not None and (out_rows % 8 or row0 + out_rows > fp):
         raise ValueError(f"keep must be a sublane multiple within fp: {keep}")
@@ -874,13 +942,13 @@ def _magspec_core_dif(
     out = pl.pallas_call(
         partial(
             _kernel_dif_mag,
-            power=power, n_fft=n_fft, k=k, bl=bl, exact=exact,
+            power=power, n_fft=n_fft, k=k, bl=bl, levels=levels, exact=exact,
             use_bits=bool(interpret), row0=int(row0), nyq=nyq,
         ),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, rows_p, hop_length), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full(w), full(tw1), full(tw2), full(tw3),
+            full(w), *(full(t) for t in tws),
             full(leaf_c), full(leaf_s),
         ],
         out_specs=pl.BlockSpec((out_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -893,7 +961,7 @@ def _magspec_core_dif(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(z, w, tw1, tw2, tw3, leaf_c, leaf_s)
+    )(z, w, *tws, leaf_c, leaf_s)
     out = out.reshape(n, out_rows, cols)
     return out if keep is not None else out[:, :f]
 
@@ -941,7 +1009,7 @@ def pallas_stft_magnitude(
     )[..., :s].reshape(b * n_slabs, s)
 
     consts = _device_weights_dif_mag(int(n_fft), window, int(exact))
-    nyq = _nyq_special(int(n_fft))
+    _bins, levels, nyq = _mag_layout(int(n_fft))
     out = _magspec_core_dif(
         win, *consts,
         hop_length=int(hop_length), n_fft=int(n_fft), power=float(power),
@@ -949,6 +1017,6 @@ def pallas_stft_magnitude(
     )  # [b*n_slabs, c, cols] — margin already dropped in-kernel
     bl = consts[-1].shape[-1]
     out = out.reshape(b, n_slabs * c, -1)[:, :n_frames]
-    idx = jnp.asarray(leaf_bin_index(int(n_fft), bl, nyq))
+    idx = jnp.asarray(leaf_bin_index(int(n_fft), bl, nyq, levels))
     spec = jnp.take(out, idx, axis=2)  # natural bin order
     return jnp.transpose(spec, (0, 2, 1))
