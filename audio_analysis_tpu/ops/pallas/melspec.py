@@ -264,6 +264,21 @@ def _dot(a, b):
     )
 
 
+def _out_rows(fp, row0, keep):
+    """Validated output row count for the row0/keep margin-slice contract
+    (shared by both DIF cores — the checks MUST stay in sync): keep is a
+    sublane multiple fitting fp, and row0 requires keep (alone it would
+    shift the output and roll-wrap the tail frames)."""
+    if keep is None:
+        if row0:
+            raise ValueError("row0 (frame0) requires keep (frames)")
+        return fp
+    out_rows = int(keep)
+    if out_rows % 8 or row0 + out_rows > fp:
+        raise ValueError(f"keep must be a sublane multiple within fp: {keep}")
+    return out_rows
+
+
 def _frame_in_kernel(z_ref, w_ref, *, n_fft, k, fp, row0=0):
     """Framing happens HERE, in VMEM: the input block is one window's padded
     PCM as [rows, hop] (1x the PCM bytes through HBM); frame f is rows
@@ -581,9 +596,7 @@ def _melspec_core_dif(
 
     bl = leaf_c.shape[-1]
     n_mels = meld.shape[-1]
-    out_rows = fp if keep is None else int(keep)
-    if keep is not None and (out_rows % 8 or row0 + out_rows > fp):
-        raise ValueError(f"keep must be a sublane multiple within fp: {keep}")
+    out_rows = _out_rows(fp, row0, keep)
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
@@ -788,7 +801,7 @@ def pallas_mel_spectrogram(
             interpret=interpret, exact=int(exact),
             row0=int(frame0), keep=None if frames is None else int(frames),
         )
-    if frames is not None:
+    if frames is not None or frame0:
         raise ValueError("frame0/frames requires the framed-DIF kernel")
     if exact:
         raise ValueError(
@@ -888,7 +901,10 @@ def mag_chunk_frames(n_fft: int, hop_length: int) -> int:
 
     v = os.environ.get("AAT_MAG_CHUNK")
     if v:
-        return -(-int(v) // 8) * 8  # sublane multiple (the kernel's out block)
+        # round DOWN to a sublane multiple (the kernel's out block): the
+        # knob is tuned against the VMEM ceiling, so rounding up could push
+        # a near-limit value over the compile cliff
+        return max(8, int(v) // 8 * 8)
     return 160
 
 
@@ -933,9 +949,7 @@ def _magspec_core_dif(
 
     bl = leaf_c.shape[-1]
     cols = (1 << levels) * bl + (128 if nyq else 0)
-    out_rows = fp if keep is None else int(keep)
-    if keep is not None and (out_rows % 8 or row0 + out_rows > fp):
-        raise ValueError(f"keep must be a sublane multiple within fp: {keep}")
+    out_rows = _out_rows(fp, row0, keep)
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )

@@ -314,6 +314,24 @@ def test_pallas_stft_magnitude_nyquist_layout(rng):
     assert rel[:, -1, :].max() < 2e-4  # the reconstituted Nyquist row
 
 
+def test_dif_level_policy():
+    """The level-adaptive tree deepens ONLY while another level shrinks the
+    128-lane-padded leaf width — these choices are performance-load-bearing
+    (measured on chip), so pin them."""
+    from audio_analysis_tpu.ops.pallas.melspec import (
+        _dif_levels,
+        _leaf_off,
+        _mag_layout,
+    )
+
+    assert _mag_layout(4096) == (2048, 4, True)  # mag kernel: 16x[256,128]
+    assert _mag_layout(512) == (257, 3, False)  # small shapes keep the base
+    assert _dif_levels(4800, 1101) == 4  # end-scan support: bl 256 -> 128
+    assert _dif_levels(4096, 939) == 3  # classify support already fits L=3
+    assert _leaf_off(3) == (0, 4, 2, 6, 1, 5, 3, 7)
+    assert _leaf_off(4) == (0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15)
+
+
 def test_pallas_medians_kernel_matches_numpy_and_xla(rng):
     """The single-program rank-search medians kernel is exactly np.median on
     both axes (rows over the valid prefix, columns over all rows) and
