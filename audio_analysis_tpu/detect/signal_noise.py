@@ -531,19 +531,44 @@ def detect_batch_finish(handle):
     )
     from audio_analysis_tpu.parallel.distributed import local_slice
 
+    import os
+
     (found, flat_sec, packed, counts, n_max,
      n_valid, shape, sr, hop_length, n_fft) = handle
-    # n_max is a replicated scalar: every process reads the same value, so
-    # the bucket choice below dispatches the SAME run-extraction program
-    # collectively under multi-host (a per-process local max would hang
-    # the mesh on mismatched programs)
-    n_max = int(np.asarray(n_max))
     budget = max_runs()
-    if 0 < n_max:
+    width = num_frames(shape[-1], hop_length, n_fft)
+    # SPECULATIVE run extraction: dispatch at a fixed default bucket WITHOUT
+    # waiting for n_max. Waiting first serialises the whole finish path —
+    # drain the device queue for the count, one tunnel round trip for the
+    # scalar, only then dispatch the runs program (measured: that sync plus
+    # the one-at-a-time transfers below were ~140 ms of the 250 ms detect
+    # stage on the tunnel-attached chip). The guess is a deterministic
+    # constant, so multi-host processes still dispatch identical programs
+    # collectively; a mask that overflows the guess re-dispatches at the
+    # right bucket below (rare — typical 60 s recordings count ~2-3k runs).
+    guess = _runs_bucket(
+        min(int(os.environ.get("AAT_RUNS_GUESS", "4096")), budget)
+    )
+    runs_s, runs_e, _ = _runs_from_packed_program(
+        packed, width=width, max_runs=guess
+    )
+    # overlap the device->host copies: start every transfer before blocking
+    # on any (np.asarray alone serialises the round trips); multi-host
+    # arrays go through local_slice's shard path instead
+    if getattr(found, "is_fully_addressable", True):
+        for a in (found, flat_sec, counts, n_max, runs_s, runs_e):
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+    # n_max is a replicated scalar: every process reads the same value, so
+    # any re-dispatch below runs the SAME program collectively under
+    # multi-host (a per-process local max would hang the mesh)
+    n_max = int(np.asarray(n_max))
+    need = _runs_bucket(min(n_max, budget))
+    if n_max > 0 and need > guess:
         runs_s, runs_e, _ = _runs_from_packed_program(
-            packed,
-            width=num_frames(shape[-1], hop_length, n_fft),
-            max_runs=_runs_bucket(min(n_max, budget)),
+            packed, width=width, max_runs=need
         )
     # local_slice == np.asarray for single-process arrays; under multi-host
     # each process transfers and post-processes ONLY its own recordings
@@ -554,7 +579,7 @@ def detect_batch_finish(handle):
         runs_s = local_slice(runs_s)
         runs_e = local_slice(runs_e)
     n_valid_np = local_slice(n_valid)
-    n_frames_total = num_frames(shape[-1], hop_length, n_fft)
+    n_frames_total = width
     n_bins = packed.shape[-2]
     B = found.shape[0]
     if B == 0:

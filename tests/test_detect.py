@@ -468,3 +468,26 @@ def test_detect_batch_zero_and_overflow(monkeypatch):
         tuple(map(float, (s.start, s.end, s.freq_start, s.freq_end)))
         for s in base[1][1]
     ]
+
+
+def test_detect_batch_speculative_guess_redispatch(monkeypatch):
+    """The finish path dispatches run extraction at a speculative bucket
+    before n_max is known; a mask that overflows the guess must re-dispatch
+    at the right bucket and produce identical signals."""
+    from audio_analysis_tpu.detect.signal_noise import detect_batch
+
+    y = np.stack([
+        _chirpy_recording(seconds=4, seed=2),
+        _chirpy_recording(seconds=4, seed=3),
+    ])
+    nv = np.full(2, y.shape[1], np.int32)
+    base = detect_batch(y, nv, SR)
+    monkeypatch.setenv("AAT_RUNS_GUESS", "1")  # guess bucket 256, too small
+    redo = detect_batch(y, nv, SR)
+    for (lb, sb), (lr, sr_) in zip(base, redo):
+        assert lb == lr
+        assert [tuple(map(float, (s.start, s.end, s.freq_start, s.freq_end)))
+                for s in sr_] == [
+            tuple(map(float, (s.start, s.end, s.freq_start, s.freq_end)))
+            for s in sb
+        ]
