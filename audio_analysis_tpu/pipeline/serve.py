@@ -296,20 +296,13 @@ class BatchAnalyzer:
             with timer.stage("post"):
                 return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
 
-        for group in self.groups:
-            cfg = group[0][1]
-            models_only = [m for m, _ in group]
-            if n_total_tracks == 0 or len(combined.base) == 0:
-                break
-            n_tracks_b = _bucket(n_total_tracks, 8)
-            # frontend params come from the FIRST group's config — the
-            # reference reuses group-1's computed features for every later
-            # group (src/identify_tracks.py:525-528); only the EfficientNet
-            # channel repeat follows the current group's model name
-            prog = _fused_group_program(
-                models_only, cfg0, sr, combined.sample_size, n_tracks_b,
-                is_efficientnet=cfg.is_efficientnet,
-            )
+        # dispatch EVERY group's program before blocking on any result:
+        # a per-group blocking np.asarray would serialise group-2's device
+        # work behind group-1's tunnel round trip (same fix as the detect
+        # finish path — see detect_batch_finish). The plan arrays are
+        # identical across groups, so they upload once.
+        pending = []
+        if n_total_tracks > 0 and len(combined.base) > 0:
             padded = pad_plan_to_bucket(
                 WindowPlan(
                     base=combined.base,
@@ -320,6 +313,7 @@ class BatchAnalyzer:
                     sample_size=combined.sample_size,
                 )
             )
+
             def put(a):
                 if (
                     self.mesh is not None
@@ -330,27 +324,43 @@ class BatchAnalyzer:
                     return jax.device_put(a, NamedSharding(self.mesh, P("data")))
                 return jnp.asarray(a)
 
-            with timer.stage("infer"):
-                track_probs = np.asarray(
-                    prog(
-                        flat_frames,
-                        put(padded.base),
-                        put(padded.valid_lo),
-                        put(padded.valid_hi),
-                        put(padded.track_index),
-                    )
-                )[:n_total_tracks]
+            plan_dev = (
+                put(padded.base), put(padded.valid_lo),
+                put(padded.valid_hi), put(padded.track_index),
+            )
             windows_per_track = np.bincount(
                 padded.track_index, minlength=n_total_tracks
             )
-            for b in range(B):
-                lo, hi = track_offset[b], track_offset[b + 1]
-                apply_thresholds(
-                    all_tracks[b],
-                    track_probs[lo:hi],
-                    windows_per_track[lo:hi],
-                    cfg,
-                )
+            n_tracks_b = _bucket(n_total_tracks, 8)
+            with timer.stage("infer"):
+                for group in self.groups:
+                    cfg = group[0][1]
+                    models_only = [m for m, _ in group]
+                    # frontend params come from the FIRST group's config —
+                    # the reference reuses group-1's computed features for
+                    # every later group (src/identify_tracks.py:525-528);
+                    # only the EfficientNet channel repeat follows the
+                    # current group's model name
+                    prog = _fused_group_program(
+                        models_only, cfg0, sr, combined.sample_size, n_tracks_b,
+                        is_efficientnet=cfg.is_efficientnet,
+                    )
+                    probs_dev = prog(flat_frames, *plan_dev)
+                    try:
+                        probs_dev.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        pass
+                    pending.append((cfg, probs_dev))
+                for cfg, probs_dev in pending:
+                    track_probs = np.asarray(probs_dev)[:n_total_tracks]
+                    for b in range(B):
+                        lo, hi = track_offset[b], track_offset[b + 1]
+                        apply_thresholds(
+                            all_tracks[b],
+                            track_probs[lo:hi],
+                            windows_per_track[lo:hi],
+                            cfg,
+                        )
 
         with timer.stage("post"):
             return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
