@@ -81,7 +81,14 @@ _WIDTHS = tuple(range(21)) + (32,)
 class EncodedPCM(NamedTuple):
     """Host-side encoded batch. `tiers` maps width -> (positions, words):
     positions int32 [n_padded] (block index into the [B*T/BLOCK] grid; pads
-    point one past the end), words int32 [n_padded, BLOCK//32*w]."""
+    point one past the end), words int32 [n_padded, BLOCK//32*w].
+
+    `exceptions` is the patched-FOR stream: (flat_positions int32 [n_pad],
+    zigzag_values int32 [n_pad]) for samples wider than their block's
+    lowered width (pads aim at the decode grid's dummy row), or None. With
+    exceptions a block's width is the words-cost argmin of
+    8*w + 2*count(need > w), not the block max — outliers no longer inflate
+    a whole block's width (bench batch: wire ratio 0.745 -> 0.722)."""
 
     shape: tuple  # (B, T) original int16 shape, T % BLOCK == 0 after pad
     n_valid: int  # T before padding (per row)
@@ -89,6 +96,7 @@ class EncodedPCM(NamedTuple):
     # optimal for noise-dominated content, where differencing near-white
     # noise doubles the variance and costs a whole bit per sample)
     tiers: dict
+    exceptions: tuple = None
 
 
 def _zigzag(r: np.ndarray) -> np.ndarray:
@@ -126,19 +134,73 @@ def _pack_words(z: np.ndarray, w: int) -> np.ndarray:
     return out.view(np.int32)
 
 
-def _bucket(n: int) -> int:
-    """Pad tier row counts to 1/16-octave buckets (64, 128, ..., then
-    p + k*p/16): <=6.25% pad waste, 16 shapes per octave. Fine buckets are
+def _bucket(n: int, row_bytes: int = 4) -> int:
+    """Pad row counts to compile-friendly buckets: 1/16-octave steps
+    (64, 128, ..., then p + k*p/16; <=6.25% pad waste, 16 shapes per
+    octave), additionally capped so a tier's expected padding stays under
+    ~128 kB of wire (`row_bytes` = bytes per padded row). Fine buckets are
     affordable because the decode runs as one small program PER TIER (see
     decode_pcm) — a tier's compile profile is its own (width, rows) alone,
     not the joint multiset across tiers, so profiles accumulate linearly.
     The original half-step buckets wasted 15-17% of the wire in padding on
-    measured batches — most of what the codec saved."""
+    measured batches; the byte cap matters once pFOR concentrates most
+    blocks into one bulk tier (an 83k-row width-11 tier padded 975 kB at
+    1/16-octave granularity — more than the pFOR lowering saved)."""
     if n <= 64:
         return 64
     p = 1 << int(np.floor(np.log2(n)))
     step = max(64, p // 16)
+    cap = (128 << 10) // max(1, row_bytes)
+    if cap < step:
+        step = max(64, 1 << int(np.floor(np.log2(cap))))
     return -(-n // step) * step
+
+
+def _pfor_lower_np(z_blocks: np.ndarray, widths: np.ndarray):
+    """Patched-FOR width lowering (numpy oracle; mirrors native pcm_pfor).
+
+    z_blocks: [n_blocks, BLOCK] uint32 zigzag residuals; widths: the
+    max-based block widths. Returns (lowered widths, flat exception
+    positions int32, zigzag exception values uint32). Per block the lowered
+    width minimizes 8*w + 2*count(need > w) wire words (an exception costs
+    an int32 position + int32 value); ties prefer the LARGER width (fewer
+    exceptions), matching the native top-down scan."""
+    n_blocks = z_blocks.shape[0]
+    need = np.zeros(z_blocks.shape, np.int32)
+    nz = z_blocks > 0
+    need[nz] = np.floor(np.log2(z_blocks[nz].astype(np.float64))).astype(np.int32) + 1
+    n_w = 21  # candidate widths 0..20; 32-escape blocks are left alone
+    idx = need.astype(np.int64) + np.arange(n_blocks, dtype=np.int64)[:, None] * n_w
+    hist = np.bincount(idx.ravel(), minlength=n_blocks * n_w).reshape(n_blocks, n_w)
+    # excgt[:, w] = #samples needing more than w bits
+    excgt = np.zeros((n_blocks, n_w), np.int64)
+    excgt[:, :-1] = hist[:, ::-1].cumsum(axis=1)[:, ::-1][:, 1:]
+    cost = 8 * np.arange(n_w, dtype=np.int64)[None, :] + 2 * excgt
+    # ties -> larger width: argmin over the reversed axis finds the
+    # largest-w minimum (costs above the max-based width are strictly
+    # larger, so the pick never exceeds it)
+    wsel = (n_w - 1) - cost[:, ::-1].argmin(axis=1)
+    keep = (widths == 0) | (widths > 20)  # silence / defensive escape
+    wsel = np.where(keep, widths.astype(np.int64), wsel)
+    exc_mask = need > wsel[:, None].astype(np.int32)
+    blk, off = np.nonzero(exc_mask)  # block-major = native emit order
+    positions = (blk * BLOCK + off).astype(np.int32)
+    values = z_blocks[exc_mask]
+    return wsel.astype(widths.dtype), positions, values
+
+
+def _pad_exceptions(positions, values, n_blocks):
+    """Bucket-pad the exception stream; pads write 0 into the decode grid's
+    dummy row (flat position n_blocks*BLOCK). Returns None when empty."""
+    n = len(positions)
+    if n == 0:
+        return None
+    npad = _bucket(n, row_bytes=8)
+    pos = np.full(npad, n_blocks * BLOCK, np.int32)
+    val = np.zeros(npad, np.uint32)
+    pos[:n] = positions
+    val[:n] = values
+    return pos, val.view(np.int32)
 
 
 def encode_pcm(x: np.ndarray, order: int = None) -> EncodedPCM:
@@ -176,6 +238,9 @@ def encode_pcm(x: np.ndarray, order: int = None) -> EncodedPCM:
         return z, tier, total_words
 
     if order is None:
+        # order choice predates the pFOR lowering (max-based totals, same
+        # rule as the native encoder) — lowering then optimizes widths
+        # within the chosen order only
         best = None
         for o in (0, 1, 2, 3):
             z, tier, words = tiers_for(o)
@@ -186,6 +251,8 @@ def encode_pcm(x: np.ndarray, order: int = None) -> EncodedPCM:
         z, tier, _ = tiers_for(order)
 
     n_blocks = z.shape[0]
+    tier, exc_pos, exc_val = _pfor_lower_np(z, tier)
+    exceptions = _pad_exceptions(exc_pos, exc_val, n_blocks)
     tiers = {}
     for w in _WIDTHS:
         idx = np.nonzero(tier == w)[0].astype(np.int32)
@@ -193,13 +260,13 @@ def encode_pcm(x: np.ndarray, order: int = None) -> EncodedPCM:
             # width-0 blocks (digital silence) are implicit: scatter target
             # starts zeroed
             continue
-        npad = _bucket(idx.size)
+        npad = _bucket(idx.size, row_bytes=_WPB * w * 4 + 4)
         positions = np.full(npad, n_blocks, np.int32)  # pad -> dummy row
         positions[: idx.size] = idx
-        words = _pack_words(z[idx], w)
+        words = _pack_words(z[idx] & np.uint32((1 << w) - 1), w)
         words = np.pad(words, ((0, npad - idx.size), (0, 0)))
         tiers[w] = (positions, words)
-    return EncodedPCM((b, t), n_valid, order, tiers)
+    return EncodedPCM((b, t), n_valid, order, tiers, exceptions)
 
 
 def _encode_native(lib, x, b, t, n_valid, order) -> EncodedPCM:
@@ -212,6 +279,15 @@ def _encode_native(lib, x, b, t, n_valid, order) -> EncodedPCM:
         order = int(np.argmin(totals))
     w_chosen = widths4[order]
 
+    # patched-FOR: lower block widths in place; pcm_pack below emits the
+    # exception (position, value) pairs while it packs (it already touches
+    # every sample) — pfor only sizes the buffers and gates w==0 blocks
+    exc_counts = np.empty(n_blocks, np.int32)
+    n_exc = int(lib.pfor(x, b, t, order, w_chosen, exc_counts))
+    npad_exc = _bucket(n_exc, row_bytes=8) if n_exc else 1
+    exc_pos = np.full(npad_exc, n_blocks * BLOCK, np.int32)  # pads -> dummy
+    exc_val = np.zeros(npad_exc, np.uint32)
+
     # The packer writes each block straight into its padded tier slot
     # (tier-major layout), so the per-width word matrices are zero-copy
     # views of one buffer — no post-pack gather (the single-core hosts
@@ -223,7 +299,7 @@ def _encode_native(lib, x, b, t, n_valid, order) -> EncodedPCM:
     flat_words = 0
     for w in present:
         n_w = int(counts[w])
-        npad = _bucket(n_w)
+        npad = _bucket(n_w, row_bytes=_WPB * w * 4 + 4)
         lo = int(np.searchsorted(w_chosen[tier_rank], w))
         idx = tier_rank[lo : lo + n_w].astype(np.int32)
         positions = np.full(npad, n_blocks, np.int32)
@@ -237,19 +313,29 @@ def _encode_native(lib, x, b, t, n_valid, order) -> EncodedPCM:
         positions, start_word, npad, idx = segments[w]
         n_w = len(idx)
         dest[idx] = start_word + np.arange(n_w, dtype=np.int64) * (_WPB * w)
-    lib.pack(x, b, t, order, np.ascontiguousarray(w_chosen), dest, flat)
+    n_written = int(
+        lib.pack(
+            x, b, t, order, np.ascontiguousarray(w_chosen), dest, flat,
+            exc_counts, exc_pos, exc_val,
+        )
+    )
+    assert n_written == n_exc, (n_written, n_exc)
+    exceptions = (exc_pos, exc_val.view(np.int32)) if n_exc else None
 
     tiers = {}
     for w in present:
         positions, start_word, npad, _ = segments[w]
         words = flat[start_word : start_word + npad * _WPB * w].reshape(npad, _WPB * w)
         tiers[w] = (positions, words.view(np.int32))
-    return EncodedPCM((b, t), n_valid, order, tiers)
+    return EncodedPCM((b, t), n_valid, order, tiers, exceptions)
 
 
 def wire_bytes(enc: EncodedPCM) -> int:
     """Bytes this encoding puts on the wire (padded tiers included)."""
-    return sum(p.nbytes + w.nbytes for p, w in enc.tiers.values())
+    n = sum(p.nbytes + w.nbytes for p, w in enc.tiers.values())
+    if enc.exceptions is not None:
+        n += enc.exceptions[0].nbytes + enc.exceptions[1].nbytes
+    return n
 
 
 @lru_cache(maxsize=32)
@@ -287,6 +373,15 @@ def _scatter_tier_core(z, positions, words, *, w):
     return z.at[positions].set(_unpack_words(words, w))
 
 
+def _scatter_exceptions_core(z, positions, values):
+    """Overwrite patched-FOR exception samples in the flattened zigzag grid
+    (runs AFTER every tier scatter; pads target the dummy row). `z` is
+    donated like the tier scatters."""
+    shp = z.shape
+    vals = jax.lax.bitcast_convert_type(values, jnp.uint32)
+    return z.reshape(-1).at[positions].set(vals).reshape(shp)
+
+
 @lru_cache(maxsize=2)
 def _decode_fns(backend: str):
     """Per-backend jits: buffer donation is what makes the per-tier
@@ -297,10 +392,11 @@ def _decode_fns(backend: str):
     scatter = partial(
         jax.jit, static_argnames=("w",), donate_argnums=donate
     )(_scatter_tier_core)
+    scatter_exc = partial(jax.jit, donate_argnums=donate)(_scatter_exceptions_core)
     # no donation for integrate: its int16 output cannot alias the uint32
     # grid (different byte sizes), so donating would only emit a warning
     integrate = partial(jax.jit, static_argnums=(1, 2))(_integrate_core)
-    return scatter, integrate
+    return scatter, scatter_exc, integrate
 
 
 def _integrate_core(z, shape, order):
@@ -324,13 +420,16 @@ def decode_pcm(enc: EncodedPCM) -> jnp.ndarray:
     tier's compile profile is then its own (width, bucketed rows) pair —
     independent of what other tiers a batch happens to contain — so the
     fine `_bucket` granularity stays compile-cheap on the tunnel."""
-    scatter, integrate = _decode_fns(jax.default_backend())
+    scatter, scatter_exc, integrate = _decode_fns(jax.default_backend())
     b, t = enc.shape
     n_blocks = (b * t) // BLOCK
     z = jnp.zeros((n_blocks + 1, BLOCK), jnp.uint32)  # +1 dummy pad row
     for w in sorted(enc.tiers):
         p, wd = enc.tiers[w]
         z = scatter(z, jnp.asarray(p), jnp.asarray(wd), w=int(w))
+    if enc.exceptions is not None:
+        pos, val = enc.exceptions
+        z = scatter_exc(z, jnp.asarray(pos), jnp.asarray(val))
     return integrate(z, enc.shape, enc.order)
 
 
@@ -371,6 +470,9 @@ def decode_pcm_np(enc: EncodedPCM) -> np.ndarray:
         lo_shift = np.where(spill, (np.uint32(64 - w) - offj), np.uint32(0))
         lo = np.where(spill, w1 >> lo_shift, np.uint32(0))
         z[positions] = hi | lo
+    if enc.exceptions is not None:
+        pos, val = enc.exceptions
+        z.reshape(-1)[pos] = val.view(np.uint32)
     z = z[:-1]
     r = _unzigzag_np(z).reshape(b, t)
     for _ in range(enc.order):

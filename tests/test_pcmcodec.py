@@ -62,6 +62,44 @@ def test_native_matches_numpy_fallback_layout(rng):
             for w in en.tiers:
                 assert np.array_equal(en.tiers[w][0], ef.tiers[w][0]), (name, w)
                 assert np.array_equal(en.tiers[w][1], ef.tiers[w][1]), (name, w)
+            assert (en.exceptions is None) == (ef.exceptions is None), name
+            if en.exceptions is not None:
+                assert np.array_equal(en.exceptions[0], ef.exceptions[0]), name
+                assert np.array_equal(en.exceptions[1], ef.exceptions[1]), name
+
+
+def test_pfor_outliers_lower_width(rng):
+    # sparse spikes on near-silence: without patched-FOR each spike inflates
+    # its whole 256-sample block to 16+ bits; with it the block stays narrow
+    # and the spike rides the exception stream. Bit-exactness + wire win.
+    x = np.clip(rng.randn(2, 48000) * 40, -32768, 32767).astype(np.int16)
+    spikes = rng.choice(x.shape[1], size=60, replace=False)
+    x[0, spikes] = 32000
+    x[1, spikes[:30]] = -32000
+    enc = pc.encode_pcm(x, order=0)
+    assert enc.exceptions is not None
+    pos, _ = enc.exceptions
+    n_blocks = (x.shape[0] * enc.shape[1]) // pc.BLOCK
+    real = pos[pos < n_blocks * pc.BLOCK]
+    assert len(real) >= 60  # every spike is an exception
+    # no tier got dragged to spike width
+    assert max(enc.tiers) < 15
+    assert np.array_equal(pc.decode_pcm_np(enc)[:, : enc.n_valid], x)
+    dev = np.asarray(pc.decode_pcm(enc))[:, : enc.n_valid]
+    assert np.array_equal(dev, x)
+
+
+def test_pfor_exception_in_silence_block(rng):
+    # a single spike inside otherwise digital silence: pFOR lowers the block
+    # to width 0 (cheaper as one exception than 8 words of width), and the
+    # w==0-with-exceptions path must still emit the spike
+    x = np.zeros((1, 4 * pc.BLOCK), np.int16)
+    x[0, pc.BLOCK + 7] = 12345
+    enc = pc.encode_pcm(x, order=0)
+    assert enc.exceptions is not None
+    assert not enc.tiers  # every block is width 0
+    assert np.array_equal(pc.decode_pcm_np(enc), x)
+    assert np.array_equal(np.asarray(pc.decode_pcm(enc)), x)
 
 
 def test_band_limited_audio_compresses(rng):
