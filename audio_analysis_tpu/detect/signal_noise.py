@@ -498,6 +498,8 @@ def detect_batch_dispatch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096)
     """Queue the batched detection program; returns a handle of device
     arrays without forcing a transfer (dispatch is async — the device works
     while the host does something else)."""
+    import os
+
     frames_batch = jnp.asarray(frames_batch)
     if frames_batch.dtype != jnp.int16:
         frames_batch = frames_batch.astype(jnp.float32)
@@ -507,13 +509,28 @@ def detect_batch_dispatch(frames_batch, n_valid, sr, hop_length=281, n_fft=4096)
         pallas_level=_flatness_level(sr, hop_length),
     )
     # second (tiny) dispatch: count each mask's runs on device; async, so
-    # it pipelines behind the big program. The run-extraction program is
-    # dispatched at finish time, sized to the counts actually observed
-    # (k=16384 unconditionally cost 61 ms/batch; counting + a right-sized
-    # program is ~4x cheaper on typical masks).
+    # it pipelines behind the big program. Sizing the run extraction to the
+    # observed counts instead would cost a blocking scalar read here
+    # (k=16384 unconditionally measured 61 ms/batch; counting + a
+    # right-sized program is ~4x cheaper on typical masks).
     counts, n_max = _run_count_program(packed)
+    # SPECULATIVE run extraction, dispatched HERE — not at finish time —
+    # so in pipelined use (dispatch k+1 before finish k, the serving loop's
+    # shape) it queues directly behind this batch's programs instead of
+    # behind the NEXT batch's detect program. The guess is a deterministic
+    # constant, so multi-host processes still dispatch identical programs
+    # collectively; finish() re-dispatches at the right bucket if a mask
+    # overflows the guess (rare — typical 60 s recordings count ~2-3k runs).
+    budget = max_runs()
+    guess = _runs_bucket(
+        min(int(os.environ.get("AAT_RUNS_GUESS", "4096")), budget)
+    )
+    width = num_frames(frames_batch.shape[-1], hop_length, n_fft)
+    runs_s, runs_e, _ = _runs_from_packed_program(
+        packed, width=width, max_runs=guess
+    )
     return (
-        found, flat_sec, packed, counts, n_max,
+        found, flat_sec, packed, counts, n_max, runs_s, runs_e, guess,
         n_valid, frames_batch.shape, sr, hop_length, n_fft,
     )
 
@@ -531,27 +548,16 @@ def detect_batch_finish(handle):
     )
     from audio_analysis_tpu.parallel.distributed import local_slice
 
-    import os
-
-    (found, flat_sec, packed, counts, n_max,
+    (found, flat_sec, packed, counts, n_max, runs_s, runs_e, guess,
      n_valid, shape, sr, hop_length, n_fft) = handle
     budget = max_runs()
     width = num_frames(shape[-1], hop_length, n_fft)
-    # SPECULATIVE run extraction: dispatch at a fixed default bucket WITHOUT
-    # waiting for n_max. Waiting first serialises the whole finish path —
-    # drain the device queue for the count, one tunnel round trip for the
-    # scalar, only then dispatch the runs program (measured: that sync plus
-    # the one-at-a-time transfers below were ~140 ms of the 250 ms detect
-    # stage on the tunnel-attached chip). The guess is a deterministic
-    # constant, so multi-host processes still dispatch identical programs
-    # collectively; a mask that overflows the guess re-dispatches at the
-    # right bucket below (rare — typical 60 s recordings count ~2-3k runs).
-    guess = _runs_bucket(
-        min(int(os.environ.get("AAT_RUNS_GUESS", "4096")), budget)
-    )
-    runs_s, runs_e, _ = _runs_from_packed_program(
-        packed, width=width, max_runs=guess
-    )
+    # The speculative run extraction was already dispatched (at `guess`)
+    # by detect_batch_dispatch — waiting for n_max before dispatching it
+    # serialised the whole finish path (measured: that sync plus
+    # one-at-a-time transfers were ~140 ms of the 250 ms detect stage on
+    # the tunnel-attached chip), and dispatching it here queued it behind
+    # the NEXT batch's detect program under pipelined use.
     # overlap the device->host copies: start every transfer before blocking
     # on any (np.asarray alone serialises the round trips); multi-host
     # arrays go through local_slice's shard path instead
