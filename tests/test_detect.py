@@ -491,3 +491,28 @@ def test_detect_batch_speculative_guess_redispatch(monkeypatch):
             tuple(map(float, (s.start, s.end, s.freq_start, s.freq_end)))
             for s in sb
         ]
+
+
+def test_detect_batch_pipelined_two_in_flight():
+    """dispatch k+1 before finish k (the serving loop's shape): the
+    speculative runs program is dispatched with its own batch, so a second
+    in-flight batch must not perturb results."""
+    from audio_analysis_tpu.detect.signal_noise import (
+        detect_batch,
+        detect_batch_dispatch,
+        detect_batch_finish,
+    )
+
+    y = np.stack([
+        _chirpy_recording(seconds=4, seed=2),
+        _chirpy_recording(seconds=4, seed=3),
+    ])
+    nv = np.full(2, y.shape[1], np.int32)
+    base = detect_batch(y, nv, SR)
+    h1 = detect_batch_dispatch(y, nv, SR)
+    h2 = detect_batch_dispatch(y, nv, SR)
+    for res in (detect_batch_finish(h1), detect_batch_finish(h2)):
+        for (lb, sb), (lr, sr_) in zip(base, res):
+            assert lb == lr
+            assert [(s.start, s.end, s.freq_start, s.freq_end) for s in sr_] \
+                == [(s.start, s.end, s.freq_start, s.freq_end) for s in sb]
