@@ -10,7 +10,7 @@ measured no better — 288 GB/s effective, still one HBM stream per phase).
 
 The winning structure: a median along an axis only needs the values ON that
 axis, so a tile that contains the ENTIRE reduction axis can run the whole
-20-phase search in-kernel against its resident VMEM copy — one HBM fetch
+narrowing search in-kernel against its resident VMEM copy — one HBM fetch
 per element, with the narrowing loop hitting VMEM at register speed. Two
 kernels therefore:
 
@@ -19,10 +19,11 @@ kernels therefore:
 - column medians: tiles of [bins, TC] (full height).
 
 Each grid step is fully independent: no cross-tile accumulators, no phase
-grid dim, no scratch persistence. Search math is IDENTICAL to the XLA
-version (same quarter() midpoints, same narrowing rule, same lower/upper
-middle resolution), so the medians are bit-identical — pinned by test
-against np.median and against the XLA path.
+grid dim, no scratch persistence. In-kernel the narrowing is BINARY (the
+XLA path's is quaternary — right when every phase is an HBM stream, wrong
+when the cost is VPU ops: see N_NARROW below); both converge to the exact
+k-th smallest bit pattern, so the medians stay bit-identical — pinned by
+test against np.median and against the XLA path.
 """
 
 from functools import partial
@@ -32,53 +33,46 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# 20 narrowing phases: the span shrinks to <= span//4 + 3 per phase (floor
-# midpoints); 16 bring 2^31 down to <= 4 and spans <= 4 collapse within 3
-# more (degenerate midpoints force the subinterval index into {0, 3}).
-# Must match detect/signal_noise._masked_medians_rowcol for bit-identity.
-N_NARROW = 20
+# 31 binary narrowing phases collapse the full [0, 2^31-1] bit span to a
+# single value. The XLA path (detect/signal_noise._masked_medians_rowcol)
+# narrows QUATERNARY because each phase there is an HBM stream — fewer
+# phases win; in-kernel the tile is VMEM-resident and the cost is VPU ops
+# per element: binary is ~3 ops/bit (compare+convert+add) vs quaternary's
+# ~4.5 (three sibling counts per 2 bits). Bit-identity with the XLA path
+# is preserved because both searches converge to the exact k-th smallest
+# bit pattern (rank selection is unique) — pinned by test.
+N_NARROW = 31
 _INF_BITS = 0x7F800000  # +inf bits, matching the XLA path's successor
 # (plain python ints: jnp scalar constants would be captured by the kernel)
 RT = 64  # rows per row-median tile ([RT, T] f32 ~2.7 MB at T~10.4k)
 TC = 512  # columns per col-median tile ([bins, TC] f32 ~4.2 MB at 2056)
 
 
-def _quarter(lo, hi, i):
-    # (span//4)*i keeps midpoints monotone in (lo, hi] without int32
-    # overflow near the initial 2^31 span (same as the XLA search)
-    return lo + ((hi - lo) // 4) * i
-
-
 def _search(xi, counted, k1, k2, axis):
-    """The full quaternary rank search + upper-middle resolution over one
-    axis of the in-VMEM tile. `counted` masks which elements participate;
-    k1/k2 are the lower/upper middle ranks (scalars or per-line vectors).
-    Returns the median line (keepdims).
+    """Binary rank search + upper-middle resolution over one axis of the
+    in-VMEM tile. `counted` masks which elements participate; k1/k2 are the
+    lower/upper middle ranks (scalars or per-line vectors). Returns the
+    median line (keepdims).
 
     Masked elements are substituted with the +inf sentinel ONCE up front —
     the XLA path's exact spec_inf semantics (midpoints stay below the
     sentinel for real data, so they are never counted and only win the
     successor min when no real successor exists — i.e. never for reachable
-    ranks) — which keeps the 60 loop compares free of a per-element mask."""
+    ranks) — which keeps the loop compares free of a per-element mask."""
     xi = jnp.where(counted, xi, _INF_BITS)
     red = (xi.shape[0], 1) if axis == 1 else (1, xi.shape[1])
     lo0 = jnp.zeros(red, jnp.int32)
     hi0 = jnp.full(red, 2**31 - 1, jnp.int32)
 
     def body(_, st):
+        # same invariant as detect/signal_noise._masked_median_fast:
+        # count(<= m) >= k1+1 keeps hi at m, else lo moves past m; after 31
+        # halvings lo == hi == the k1-th smallest bit pattern exactly
         lo, hi = st
-        cs = [
-            jnp.sum(
-                (xi <= _quarter(lo, hi, j)).astype(jnp.int32),
-                axis=axis, keepdims=True,
-            )
-            for j in (1, 2, 3)
-        ]
-        tq = sum((c < k1 + 1).astype(jnp.int32) for c in cs)
-        return (
-            jnp.where(tq == 0, lo, _quarter(lo, hi, tq) + 1),
-            jnp.where(tq == 3, hi, _quarter(lo, hi, tq + 1)),
-        )
+        m = lo + (hi - lo) // 2
+        c = jnp.sum((xi <= m).astype(jnp.int32), axis=axis, keepdims=True)
+        t = c >= k1 + 1
+        return jnp.where(t, lo, m + 1), jnp.where(t, m, hi)
 
     lo, _ = jax.lax.fori_loop(0, N_NARROW, body, (lo0, hi0))
     cnt = jnp.sum((xi <= lo).astype(jnp.int32), axis=axis, keepdims=True)
@@ -123,7 +117,7 @@ def _medians_core(spec_p, nvf, *, n_rows, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((b, bins_p, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=b * bins_p * t_p * 6 * N_NARROW,
+            flops=b * bins_p * t_p * 3 * N_NARROW,
             bytes_accessed=b * bins_p * t_p * 4,
             transcendentals=0,
         ),
@@ -143,7 +137,7 @@ def _medians_core(spec_p, nvf, *, n_rows, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((b, 1, t_p), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=b * bins_p * t_p * 6 * N_NARROW,
+            flops=b * bins_p * t_p * 3 * N_NARROW,
             bytes_accessed=b * bins_p * t_p * 4,
             transcendentals=0,
         ),
