@@ -257,17 +257,24 @@ def _runs_bucket(n_max: int) -> int:
     return cap
 
 
+def _run_start_bits(u: jnp.ndarray) -> jnp.ndarray:
+    """Bits set where a horizontal run begins: on-bits whose left neighbour
+    (previous column in the MSB-first packing) is off. Single source of
+    truth shared by the count program and the extraction program — the
+    bucket sizing must count exactly the bits the extraction emits."""
+    pad_cfg = [(0, 0)] * (u.ndim - 1) + [(1, 0)]
+    left = jnp.pad(u[..., :-1], pad_cfg)
+    prev_bit = (u >> jnp.uint32(1)) | (left << jnp.uint32(31))
+    return u & ~prev_bit
+
+
 @jax.jit
 def _run_count_program(packed: jnp.ndarray):
     """Per-recording horizontal-run counts of [..., R, W]-word packed masks,
     plus the batch-global maximum (a replicated scalar: under multi-host
     sharding every process reads the same value, so the bucket choice that
     sizes the runs program stays collective)."""
-    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
-    pad_cfg = [(0, 0)] * (u.ndim - 1) + [(1, 0)]
-    left = jnp.pad(u[..., :-1], pad_cfg)
-    prev_bit = (u >> jnp.uint32(1)) | (left << jnp.uint32(31))
-    starts = u & ~prev_bit
+    starts = _run_start_bits(jax.lax.bitcast_convert_type(packed, jnp.uint32))
     counts = jnp.sum(
         _popcount32(starts).astype(jnp.int32), axis=(-2, -1), dtype=jnp.int32
     )
@@ -329,12 +336,10 @@ def _runs_from_packed_program(packed: jnp.ndarray, *, width: int, max_runs: int)
     def one(words):
         u = jax.lax.bitcast_convert_type(words, jnp.uint32)
         r, w_words = u.shape
-        left = jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
         right = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
-        prev_bit = (u >> jnp.uint32(1)) | (left << jnp.uint32(31))
         next_bit = (u << jnp.uint32(1)) | (right >> jnp.uint32(31))
         fill = r * width
-        starts, n = _kth_set_bits_packed(u & ~prev_bit, max_runs, width, fill)
+        starts, n = _kth_set_bits_packed(_run_start_bits(u), max_runs, width, fill)
         lasts, _ = _kth_set_bits_packed(u & ~next_bit, max_runs, width, fill)
         return starts, lasts, n
 
@@ -726,14 +731,25 @@ def _batch_chunk_flatness(framesf, *, sr, hop_length, level, interpret=False):
     # with partial(..., interpret=True), which an explicit False would
     # override (partial keywords lose to call-site keywords)
     kw = {"interpret": True} if interpret else {}
-    # exact is capped at 1 (2-way split): flatness only compares max==min,
-    # and the decision needs the INPUT representation to keep 1-LSB-distinct
-    # PCM distinct (bf16 z storage at exact=0 could collapse near-constant
-    # frames into structurally identical ones -> false flat ends), which
-    # exact>=1's f32 z layout guarantees; dot rounding beyond that only
-    # perturbs already-distinct outputs and cannot create equality across a
-    # whole chunk. exact=2's third split is pure cost here (measured: the
-    # end-scan is ~42 ms of the fused detect batch at exact=2).
+    # exact follows the frontend level, capped at 1 (2-way split): the
+    # end-scan only consumes the DECISION flat = (max==min over every
+    # (mel bin, frame) cell of the chunk), and that decision is
+    # representation-independent. A flat chunk requires ALL cells equal,
+    # which for real signals means an all-zero chunk — nonzero input puts
+    # unequal energy in different mel bins, so even bf16 z storage
+    # collapsing 1-LSB-distinct frames (0.500031/0.499969 both round to
+    # bf16 0.5) leaves bin-to-bin variation and the chunk still reads
+    # non-flat; and bf16 never flushes an int16 LSB (3.05e-5 vs min
+    # normal ~1e-38), so all-zero stays all-zero and zero-dither stays
+    # nonzero. Decision parity at exact=0 is pinned by
+    # tests/test_detect.py::test_fast_endscan_keeps_lsb_dither_nonflat and
+    # the adversarial fixture sweep in the r3 review (silence, +-1-LSB
+    # dither around 0 and DC, loud constant, hop-periodic tone — all
+    # decisions identical to the f32 XLA path). Unlike _mag_level, which
+    # pins exact because magnitudes feed thresholds, only equality matters
+    # here — so the fast frontend keeps the cheap bf16 z (half the HBM
+    # traffic). exact=2's third split is pure cost either way (measured:
+    # the end-scan is ~42 ms of the fused detect batch at exact=2).
     # in-kernel margin slice: keep = chunk rounded to a sublane multiple
     # (the kernel's output block), so the margin frames never touch the MXU;
     # falls back to the full frame range when the rounding wouldn't fit

@@ -286,11 +286,16 @@ def _apply_track_filters(frames, plan, sr):
     return sosfilt_array(jnp.asarray(sos_arr), stack)
 
 
-def build_window_grid(frames, sr, tracks, cfg: ModelConfig, rng=np.random):
+def build_window_grid(frames, sr, tracks, cfg: ModelConfig, rng=np.random, length=None):
     """Plan + gather the window grid for a model config. Returns
-    (grid [N, sample], plan)."""
+    (grid [N, sample], plan).
+
+    `length`: true recording length in samples when `frames` is a padded
+    bucket row (serving). Windows are planned/clamped against it — exactly
+    like the single-recording path whose frames have the true length — while
+    the gather stays on the static padded row (no per-length recompiles)."""
     plan = plan_windows(
-        int(frames.shape[-1]),
+        int(frames.shape[-1]) if length is None else int(length),
         sr,
         tracks,
         cfg.segment_length,
@@ -432,6 +437,7 @@ def classify_frames(
         grouped_models.append(pre_models)
 
     track_data = None  # (grid, plan) shared across groups like the reference
+    feats_cache = None  # band-pass path: group-1 features, reused verbatim
     bird_labels = set()
 
     for model_group in grouped_models:
@@ -513,13 +519,15 @@ def classify_frames(
             if plan.filter_specs:
                 # slow path: per-track band-passed grids (rare configs);
                 # needs float PCM (the int16 fast path converts here)
-                if frames_dev.dtype == jnp.int16:
-                    frames_dev = frames_dev.astype(jnp.float32) / 32768.0
-                grid = gather_windows(frames_dev, plan)
-                filtered = _apply_track_filters(frames_dev, plan, sr)
-                if filtered is not None:
-                    grid = _overwrite_filtered_rows(grid, filtered, plan)
-                feats = features_for_config(grid, sr, feat_cfg)
+                if feats_cache is None:
+                    if frames_dev.dtype == jnp.int16:
+                        frames_dev = frames_dev.astype(jnp.float32) / 32768.0
+                    grid = gather_windows(frames_dev, plan)
+                    filtered = _apply_track_filters(frames_dev, plan, sr)
+                    if filtered is not None:
+                        grid = _overwrite_filtered_rows(grid, filtered, plan)
+                    feats_cache = features_for_config(grid, sr, feat_cfg)
+                feats = feats_cache
                 all_probs = []
                 for model, mcfg in predict_models:
                     x = feats

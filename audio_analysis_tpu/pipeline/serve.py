@@ -479,7 +479,15 @@ class BatchAnalyzer:
             for group in self.groups:
                 cfg = group[0][1]
                 if track_data is None:
-                    track_data = build_window_grid(frames_b, sr, tracks, cfg0, rng=rng)
+                    # plan against the TRUE recording length, not the padded
+                    # bucket row — short-track clamping must match the
+                    # single-recording pipeline (review r3 finding: planning
+                    # on the padded length let end-of-recording windows read
+                    # zero padding and diverge from the parity path)
+                    track_data = build_window_grid(
+                        frames_b, sr, tracks, cfg0, rng=rng,
+                        length=int(n_valid[b]),
+                    )
                 grid, plan = track_data
                 if len(plan.base) == 0:
                     break

@@ -197,6 +197,34 @@ def test_batch_chunk_flatness_pallas_matches_xla(level):
     assert np.all(np.asarray(mx)[flat] == 0.0)
 
 
+def test_fast_endscan_keeps_lsb_dither_nonflat():
+    """Level-1 (AAT_FAST bf16 frontend, exact=0 bf16 z storage) end-scan
+    must give the f32 path's flat decisions on near-constant PCM: a DC
+    offset at int16 16384 with random ±1-LSB dither maps to
+    0.500031/0.499969, which BOTH round to bf16 0.5 — the frames collapse
+    to one constant in the z layout. The decision still matches because
+    flatness spans every (mel bin, frame) cell: nonzero input puts unequal
+    energy in different bins, so a collapsed-but-nonzero chunk can never
+    read max==min (only all-zero chunks are flat, and bf16 never flushes
+    an int16 LSB to zero). Adversarial fixture for the bf16 z numerics
+    contract in _batch_chunk_flatness."""
+    import jax.numpy as jnp
+
+    from audio_analysis_tpu.detect.signal_noise import _batch_chunk_flatness
+
+    hop = 281
+    rng = np.random.RandomState(7)
+    pcm = 16384 + rng.randint(-1, 2, size=(1, 3 * SR))
+    fx = jnp.asarray(pcm.astype(np.float32) / 32768.0)
+    mx0, mn0 = _batch_chunk_flatness(fx, sr=SR, hop_length=hop, level=0)
+    mx1, mn1 = _batch_chunk_flatness(
+        fx, sr=SR, hop_length=hop, level=1, interpret=True
+    )
+    flat0 = np.asarray(mx0 == mn0)
+    assert not flat0.any()  # f32 reference: dither keeps every chunk distinct
+    np.testing.assert_array_equal(np.asarray(mx1 == mn1), flat0)
+
+
 # ---------------------------------------------------------------------------
 # merge rules (hand-crafted cases, expectations derived from the rules)
 # ---------------------------------------------------------------------------

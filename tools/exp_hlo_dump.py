@@ -1,6 +1,6 @@
 import sys, json
 from pathlib import Path
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np, jax, jax.numpy as jnp
 from bench import build_efficientnet_fixture, _env
 from audio_analysis_tpu.io.modelconfig import ModelConfig
