@@ -344,3 +344,85 @@ print("SHARDED-E2E-OK")
         env={"PATH": "/usr/bin:/bin:/usr/local/bin", "PYTHONPATH": str(Path(__file__).parent.parent), "HOME": "/root"},
     )
     assert r.returncode == 0 and "SHARDED-E2E-OK" in r.stdout, r.stderr[-2000:]
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: mixed-length batches vs the single-recording pipeline
+# ---------------------------------------------------------------------------
+
+
+def _rec_end_tone(seed, seconds):
+    """Noise floor + a tone ending exactly at the recording end — the
+    short-track clamp geometry that distinguishes true-length window
+    planning from padded-bucket planning (the r3 serve band-pass bug)."""
+    rng = np.random.RandomState(seed)
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    y = 0.01 * rng.randn(n).astype(np.float32)
+    dur = min(1.2, seconds * 0.5)
+    m = t >= (seconds - dur)
+    y[m] += (0.5 * np.sin(2 * np.pi * 2900 * t[m])).astype(np.float32)
+    if seconds >= 8:
+        m2 = (t >= 2.0) & (t < 3.0)
+        y[m2] += (0.4 * np.sin(2 * np.pi * 3400 * t[m2])).astype(np.float32)
+    return y
+
+
+def _assert_matches_single(got, ref):
+    assert got["duration"] == pytest.approx(ref["duration"])
+    assert got["chirps"]["signals"] == ref["chirps"]["signals"]
+    assert got["cacophony_index"] == ref["cacophony_index"]
+    assert len(got["species_identify"]) == len(ref["species_identify"])
+    for a, b in zip(got["species_identify"], ref["species_identify"]):
+        assert a["begin_s"] == pytest.approx(b["begin_s"])
+        assert a["end_s"] == pytest.approx(b["end_s"])
+        for mra, mrb in zip(a["model_results"], b["model_results"]):
+            pa, pb = mra["predictions"], mrb["predictions"]
+            assert [p["label"] for p in pa] == [p["label"] for p in pb]
+            for x, y in zip(pa, pb):
+                assert abs(x["confidence"] - y["confidence"]) <= 1
+
+
+@pytest.mark.parametrize("filtered", [False, True])
+def test_batch_matches_single_fuzz_lengths(model_dir, tmp_path, filtered):
+    """One mixed-length batch (recordings from 2.5 s up to the full 12 s
+    bucket, every one with a tone anchored at its end) against the
+    single-recording pipeline, on both the fused path and the band-pass
+    slow path. Catches any divergence between bucketed serving and the
+    reference-parity path under end-of-recording clamping, short-track
+    padding, and per-track filtering."""
+    if filtered:
+        d = tmp_path / "fuzzfm"
+        d.mkdir()
+        inp = tf.keras.Input((64, 226, 1))
+        x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
+        x = tf.keras.layers.GlobalAveragePooling2D()(x)
+        out = tf.keras.layers.Dense(len(LABELS), activation="softmax")(x)
+        tf.keras.Model(inp, out).save(str(d / "audioModel.keras"))
+        (d / "metadata.txt").write_text(
+            json.dumps(
+                {
+                    "name": "fuzzfilter",
+                    "labels": LABELS,
+                    "n_mels": 64,
+                    "hop_length": 640,
+                    "htk": True,
+                    "threshold": 0.2,
+                    "normalize": True,
+                    "filter_below": 20000,
+                }
+            )
+        )
+    else:
+        d = model_dir
+    lengths = [2.5, 5.5, 9, 12]
+    recs = [_rec_end_tone(40 + i, s) for i, s in enumerate(lengths)]
+    analyzer = BatchAnalyzer([str(d)], sr=SR, bucket_seconds=12, rng=None)
+    batch = analyzer.analyse_recordings(recs)
+    assert len(batch) == len(recs)
+    n_tracks = 0
+    for rec, got in zip(recs, batch):
+        ref = _single_pipeline_result(rec, d)
+        _assert_matches_single(got, ref)
+        n_tracks += len(got["species_identify"])
+    assert n_tracks >= len(recs)  # every recording's end tone must track
