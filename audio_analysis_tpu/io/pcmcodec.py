@@ -433,22 +433,31 @@ def decode_pcm(enc: EncodedPCM) -> jnp.ndarray:
     return integrate(z, enc.shape, enc.order)
 
 
-def upload_pcm(x: np.ndarray) -> jnp.ndarray:
-    """Encode, ship, and decode an int16 [B, T] (or [T]) batch -> int16
-    [B, T_padded] device array — falling back to the raw upload when the
-    encoding would put MORE bytes on the wire than the samples themselves
-    (hot incompressible content: the odd-width fixture measured ratio
-    1.0037). The encode cost is already sunk by the time we know, but the
-    wire (the actual bottleneck) never pays more than raw."""
-    if x.ndim == 1:
-        x = x[None, :]
-    enc = encode_pcm(x)
+def upload_pcm_encoded(x: np.ndarray, enc: EncodedPCM) -> jnp.ndarray:
+    """Device half of ``upload_pcm`` for a pre-computed encode (the
+    serving stream's AAT_ENCODE_AHEAD pipeline; measured a wash on the
+    tunnel — transfers stream from their queue time, so the inline encode
+    never actually idled the wire). Falls back to the raw upload when the
+    encoding would put
+    MORE bytes on the wire than the samples themselves (hot incompressible
+    content: the odd-width fixture measured ratio 1.0037) — the encode cost
+    is already sunk by the time we know, but the wire (the actual
+    bottleneck) never pays more than raw."""
     if wire_bytes(enc) >= x.nbytes:
         pad = (-x.shape[1]) % BLOCK
         if pad:
             x = np.pad(x, ((0, 0), (0, pad)))
         return jnp.asarray(x)
     return decode_pcm(enc)
+
+
+def upload_pcm(x: np.ndarray) -> jnp.ndarray:
+    """Encode, ship, and decode an int16 [B, T] (or [T]) batch -> int16
+    [B, T_padded] device array (see ``upload_pcm_encoded`` for the raw
+    fallback rule)."""
+    if x.ndim == 1:
+        x = x[None, :]
+    return upload_pcm_encoded(x, encode_pcm(x))
 
 
 def decode_pcm_np(enc: EncodedPCM) -> np.ndarray:

@@ -109,6 +109,15 @@ class BatchAnalyzer:
         reorders when the wire is busy, never what is computed (single worker
         preserves batch order); measured +9% full-pipeline throughput in the
         interleaved on-chip A/B (BENCH r3: 475 vs 436 audio-s/s parity).
+        AAT_ENCODE_AHEAD=1 splits the dispatch into a two-stage pipeline
+        (a dedicated encode worker prepares batch k+1 while the upload
+        worker handles batch k). Measured a WASH (paired-ratio median 0.95
+        over 10 interleaved windows): the ~170 ms host encode looks like it
+        sits on the wire's critical path, but jnp.asarray/device_put return
+        at QUEUE time, so the transfer engine is still streaming batch k-1
+        while the single worker encodes batch k — encode was never actually
+        idling the wire, and the extra thread only adds scheduling noise.
+        Default off; the knob remains for re-measurement on faster links.
         AAT_ASYNC_UPLOAD=0 reverts to fully synchronous dispatch. Forced off
         under multi-host: _dispatch runs collectives whose cross-process
         ordering must match _finish's."""
@@ -128,10 +137,18 @@ class BatchAnalyzer:
             return
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as ex:
+        ahead = env_flag("AAT_ENCODE_AHEAD")
+        two_stage = bool(ahead)  # default OFF: measured a wash (see above)
+        enc_pool = ThreadPoolExecutor(max_workers=1)
+        # with the knob off, both stages share ONE worker: prepare then
+        # dispatch run back-to-back on it — exactly the old single-stage
+        # behaviour (the in-process A/B baseline)
+        up_pool = ThreadPoolExecutor(max_workers=1) if two_stage else enc_pool
+        try:
             prev = None
             for batch in batches:
-                fut = ex.submit(self._dispatch, batch, sr)
+                prep = enc_pool.submit(self._prepare, batch, sr)
+                fut = up_pool.submit(self._dispatch_when_ready, prep)
                 if prev is not None:
                     # prev's upload ran while the batch BEFORE it finished;
                     # .result() only blocks if the wire is still busy
@@ -139,6 +156,13 @@ class BatchAnalyzer:
                 prev = fut
             if prev is not None:
                 yield self._finish(prev.result())
+        finally:
+            enc_pool.shutdown(wait=True)
+            if two_stage:
+                up_pool.shutdown(wait=True)
+
+    def _dispatch_when_ready(self, prep_future):
+        return self._dispatch_prepared(prep_future.result())
 
     # -- two-phase internals --------------------------------------------------
 
@@ -147,6 +171,15 @@ class BatchAnalyzer:
         return self.mesh is not None and jax.process_count() > 1
 
     def _dispatch(self, recordings, sr=None):
+        return self._dispatch_prepared(self._prepare(recordings, sr))
+
+    def _prepare(self, recordings, sr=None):
+        """Host-only half of `_dispatch`: validation, stacking, and (codec
+        path) the wire ENCODE — no device interaction, so the stream's
+        encode worker can run it for batch k+1 while batch k still owns the
+        wire. Measured inline, the encode idled the tunnel ~170 ms (median;
+        up to ~340 ms under GIL contention) per batch — the single biggest
+        non-bandwidth term in the serving cycle (tools/exp_stream_timeline.py)."""
         sr = int(sr or self.sr)
         B = len(recordings)
         if self._multihost:
@@ -203,13 +236,26 @@ class BatchAnalyzer:
         for i, r in enumerate(recordings):
             stacked[i, : len(r)] = r
             n_valid[i] = len(r)
+        enc = None
+        if use_codec:
+            from audio_analysis_tpu.io.pcmcodec import encode_pcm
+
+            enc = encode_pcm(stacked)
+        return (stacked, n_valid, t_bucket, B, sr, use_codec, enc)
+
+    def _dispatch_prepared(self, prep):
+        """Device half of `_dispatch`: upload (codec decode or device_put)
+        and the detect-program dispatch."""
+        if prep is None:
+            return None
+        stacked, n_valid, t_bucket, B, sr, use_codec, enc = prep
         if use_codec:
             # lossless residual codec + multi-stream tier upload + on-device
             # unpack: measured 1.5x faster than the raw int16 device_put for
             # an 8x60s batch on the tunnel-attached chip (io/pcmcodec.py)
-            from audio_analysis_tpu.io.pcmcodec import upload_pcm
+            from audio_analysis_tpu.io.pcmcodec import upload_pcm_encoded
 
-            frames_dev = upload_pcm(stacked)
+            frames_dev = upload_pcm_encoded(stacked, enc)
             detect_handle = detect_batch_dispatch(frames_dev, n_valid, sr)
             return (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked)
         if self._multihost:
