@@ -26,15 +26,20 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 
+_RED = None  # jitted scalar reducer (set in main; needs jax imported)
+
+
 def _bar(fn, *args):
-    """Dispatch + dependent-scalar barrier; returns seconds."""
+    """Dispatch + dependent-SCALAR barrier; returns seconds. The barrier
+    must fetch a scalar reduced on device — np.asarray of a leg's full
+    output would time its (huge) device->host transfer, not the leg
+    (axon: block_until_ready does not block)."""
     t0 = time.perf_counter()
     out = fn(*args)
     leaf = out
     while isinstance(leaf, (tuple, list)):
         leaf = leaf[0]
-    # a tiny dependent read forces execution (axon: block_until_ready no-op)
-    np.asarray(leaf).ravel()[:1]
+    float(np.asarray(_RED(leaf)))
     return time.perf_counter() - t0
 
 
@@ -48,6 +53,11 @@ def main():
     sn = importlib.import_module("audio_analysis_tpu.detect.signal_noise")
     from audio_analysis_tpu.ops.pallas.medians import pallas_masked_medians_rowcol
     from audio_analysis_tpu.ops.pallas.melspec import pallas_stft_magnitude
+
+    global _RED
+    _RED = jax.jit(
+        lambda x: x.reshape(-1)[::4097].astype(jnp.float32).sum()
+    )
 
     sr, hop, n_fft = 48000, 281, 4096
     recs = [
@@ -117,7 +127,16 @@ def main():
     spec_n = leg_norm(spec, nvf)
     row_m, col_m = leg_medians(spec_n, nvf)
 
+    tiny = jnp.zeros(8, jnp.float32)
+
+    @jax.jit
+    def leg_null(x):
+        return x + 1.0
+
     legs = {
+        # dispatch + scalar-fetch floor (tunnel round trip): subtract from
+        # every other leg to read its device time
+        "null_floor": lambda: _bar(leg_null, tiny),
         "endscan": lambda: _bar(leg_endscan, framesf),
         "mag": lambda: _bar(leg_mag, framesf, mask_valid),
         "norm": lambda: _bar(leg_norm, spec, nvf),
