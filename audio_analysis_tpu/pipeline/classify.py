@@ -307,6 +307,15 @@ def build_window_grid(frames, sr, tracks, cfg: ModelConfig, rng=np.random, lengt
         pad_short_tracks=cfg.pad_short_tracks,
         rng=rng,
     )
+    return gather_window_grid(frames, sr, plan)
+
+
+def gather_window_grid(frames, sr, plan):
+    """Gather + per-track band-pass application for a PRECOMPUTED window
+    plan. Serving's band-pass path reuses the plan its finish step already
+    drew — planning consumes the shared rng (short-track random offsets),
+    so re-planning here would draw AGAIN and diverge from a seeded
+    single-recording run."""
     if len(plan.base) == 0:
         return jnp.zeros((0, plan.sample_size), jnp.float32), plan
     plan = pad_plan_to_bucket(plan)

@@ -36,7 +36,7 @@ from audio_analysis_tpu.pipeline.classify import (
     _fused_group_program,
     _bucket,
     apply_thresholds,
-    build_window_grid,
+    gather_window_grid,
     features_for_config,
     _track_means,
 )
@@ -338,7 +338,7 @@ class BatchAnalyzer:
             # (reference: src/identify_tracks.py:152-161) — take the
             # per-recording grid path that applies it
             with timer.stage("infer"):
-                self._infer_with_filters(frames_dev, n_valid, sr, all_tracks, rng)
+                self._infer_with_filters(frames_dev, sr, all_tracks, plans)
             with timer.stage("post"):
                 return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
 
@@ -435,7 +435,7 @@ class BatchAnalyzer:
         if any(dist.allgather_host_values(int(has_filters))):
             with timer.stage("infer") if timer else _nullctx():
                 self._infer_with_filters(
-                    jnp.asarray(stacked), n_valid, sr, all_tracks, self.rng
+                    jnp.asarray(stacked), sr, all_tracks, plans
                 )
             with timer.stage("post") if timer else _nullctx():
                 results = self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
@@ -508,9 +508,13 @@ class BatchAnalyzer:
             results = self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
             return dist.allgather_results(results)
 
-    def _infer_with_filters(self, frames_dev, n_valid, sr, all_tracks, rng):
+    def _infer_with_filters(self, frames_dev, sr, all_tracks, plans):
         """Per-recording inference with the band-pass path (rare configs).
-        Matches classify_frames' slow path semantics per recording."""
+        Matches classify_frames' slow path semantics per recording. Reuses
+        the window plans the finish step already drew (planned against each
+        recording's TRUE length): planning consumes the shared rng, so
+        re-planning here would double-draw and diverge from a seeded
+        single-recording run."""
         for b, tracks in enumerate(all_tracks):
             if not tracks:
                 continue
@@ -525,15 +529,7 @@ class BatchAnalyzer:
             for group in self.groups:
                 cfg = group[0][1]
                 if track_data is None:
-                    # plan against the TRUE recording length, not the padded
-                    # bucket row — short-track clamping must match the
-                    # single-recording pipeline (review r3 finding: planning
-                    # on the padded length let end-of-recording windows read
-                    # zero padding and diverge from the parity path)
-                    track_data = build_window_grid(
-                        frames_b, sr, tracks, cfg0, rng=rng,
-                        length=int(n_valid[b]),
-                    )
+                    track_data = gather_window_grid(frames_b, sr, plans[b])
                 grid, plan = track_data
                 if len(plan.base) == 0:
                     break

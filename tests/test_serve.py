@@ -144,6 +144,31 @@ def test_stream_async_upload_matches_sync(model_dir, monkeypatch):
             )
 
 
+def test_stream_encode_ahead_matches_single_worker(model_dir, monkeypatch):
+    """AAT_ENCODE_AHEAD=1 (two-stage prepare/upload pipeline, default off —
+    measured a wash on the tunnel) must yield the exact results of the
+    shared-single-worker default; also pins that the cross-pool future
+    handoff neither deadlocks nor reorders batches."""
+    import json
+
+    recs_a = [_rec(10), _rec(11)]
+    recs_b = [_rec(12)]
+    analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    monkeypatch.setenv("AAT_ASYNC_UPLOAD", "1")
+    monkeypatch.setenv("AAT_ENCODE_AHEAD", "0")
+    base = list(analyzer.analyse_stream([recs_a, recs_b]))
+    monkeypatch.setenv("AAT_ENCODE_AHEAD", "1")
+    ahead = list(analyzer.analyse_stream([recs_a, recs_b]))
+    assert len(base) == len(ahead) == 2
+    for b_batch, a_batch in zip(base, ahead):
+        for b, a in zip(b_batch, a_batch):
+            b = {k: v for k, v in b.items() if k != "processing_time_seconds"}
+            a = {k: v for k, v in a.items() if k != "processing_time_seconds"}
+            assert json.dumps(b, sort_keys=True, default=str) == json.dumps(
+                a, sort_keys=True, default=str
+            )
+
+
 def test_batch_int16_matches_float(model_dir):
     y = _rec(20)
     y16 = np.clip(y * 32768.0, -32768, 32767).astype(np.int16)
@@ -426,3 +451,56 @@ def test_batch_matches_single_fuzz_lengths(model_dir, tmp_path, filtered):
         _assert_matches_single(got, ref)
         n_tracks += len(got["species_identify"])
     assert n_tracks >= len(recs)  # every recording's end tone must track
+
+
+def test_batch_filter_seeded_rng_matches_single(tmp_path):
+    """With a SEEDED rng and a band-pass config whose tracks are shorter
+    than segment_length (so window planning draws random pad offsets), the
+    batch path must consume the rng exactly like the single-recording
+    pipeline: plan once per recording. (Regression: _infer_with_filters
+    used to RE-plan after _finish had already planned, double-drawing the
+    rng — seeded batch windows landed at different offsets than a seeded
+    single run.)"""
+    d = tmp_path / "fmseed"
+    d.mkdir()
+    inp = tf.keras.Input((64, 226, 1))
+    x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(len(LABELS), activation="softmax")(x)
+    tf.keras.Model(inp, out).save(str(d / "audioModel.keras"))
+    (d / "metadata.txt").write_text(
+        json.dumps(
+            {
+                "name": "fseed",
+                "labels": LABELS,
+                "n_mels": 64,
+                "hop_length": 640,
+                "htk": True,
+                "threshold": 0.2,
+                "normalize": True,
+                "filter_below": 20000,
+            }
+        )
+    )
+    rec = _rec(33)  # ~1 s tones -> tracks < segment_length -> offset draws
+    rng_b = np.random.RandomState(3)
+    analyzer = BatchAnalyzer([str(d)], sr=SR, bucket_seconds=12, rng=rng_b)
+    got = analyzer.analyse_recordings([rec])[0]
+    rng_s = np.random.RandomState(3)
+    tracks, length, signals, raw_length, bird_labels = classify_frames(
+        rec, SR, [str(d)], False, None, rng=rng_s
+    )
+    # both paths must have consumed the SAME draws: the next value from
+    # each rng agrees only if the draw counts (and thus the offsets every
+    # window actually used) were identical — integer confidences alone can
+    # absorb a shifted window, this cannot
+    assert rng_b.randint(0, 2**31) == rng_s.randint(0, 2**31)
+    for t in tracks:
+        t.set_master_tag()
+    ref = [t.get_meta() for t in tracks]
+    assert len(got["species_identify"]) == len(ref) >= 1
+    for a, b in zip(got["species_identify"], ref):
+        pa = a["model_results"][0]["predictions"]
+        pb = b["model_results"][0]["predictions"]
+        # identical rng draws -> identical windows -> identical confidences
+        assert pa == pb

@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-EVENTS = []  # (t, thread, batch_idx_or_None, name)
+EVENTS = []  # (t, name, batch_idx_or_None)
 
 
 def ev(name, idx=None):
@@ -99,11 +99,18 @@ def main():
         analyzer = BatchAnalyzer(
             flagship, sr=sr, bucket_seconds=60, rng=np.random.RandomState(0)
         )
-        od, of = analyzer._dispatch, analyzer._finish
+        # the async stream path calls _prepare / _dispatch_prepared (via
+        # _dispatch_when_ready) directly — instrument THOSE, not _dispatch
+        op, odp, of = (
+            analyzer._prepare, analyzer._dispatch_prepared, analyzer._finish
+        )
 
-        def dispatch(recs, sr=None, _od=od):
+        def prepare(recs, sr=None, _op=op):
             ev("dispatch0")
-            out = _od(recs, sr)
+            return _op(recs, sr)
+
+        def dispatch_prepared(prep, _odp=odp):
+            out = _odp(prep)
             ev("dispatch1")
             return out
 
@@ -113,7 +120,8 @@ def main():
             ev("finish1")
             return out
 
-        analyzer._dispatch = dispatch
+        analyzer._prepare = prepare
+        analyzer._dispatch_prepared = dispatch_prepared
         analyzer._finish = finish
 
         analyzer.analyse_recordings(recordings)  # warm / compile

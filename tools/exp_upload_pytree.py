@@ -101,14 +101,14 @@ def main():
         fetch(chk16(out))
         return time.perf_counter() - t0
 
-    flat = np.frombuffer(
-        b"".join(
-            np.ascontiguousarray(a).tobytes()
-            for w in sorted(enc.tiers)
-            for a in enc.tiers[w]
-        ),
-        np.uint8,
-    ).copy()
+    streams = [
+        np.ascontiguousarray(a)
+        for w in sorted(enc.tiers)
+        for a in enc.tiers[w]
+    ]
+    if enc.exceptions is not None:  # ship ALL wire bytes, incl. exceptions
+        streams += [np.ascontiguousarray(a) for a in enc.exceptions]
+    flat = np.frombuffer(b"".join(a.tobytes() for a in streams), np.uint8).copy()
     print(f"flat buffer {flat.nbytes/1e6:.1f} MB", flush=True)
 
     def leg_flat():
