@@ -121,3 +121,53 @@ def test_load_model_meta_file_and_dir(tmp_path):
     # file form: metadata.txt sits next to the weights file
     (d / "audioModel.keras").write_bytes(b"")
     assert load_model_meta(d / "audioModel.keras")["name"] == "m1"
+
+
+def test_wav_parser_corruption_fuzz(tmp_path, rng):
+    """Corrupted/truncated WAV bytes must either decode or raise — never
+    hang or crash the process. The RIFF chunk walk advances by >= 8 bytes
+    per chunk so termination is structural; this pins it plus clean error
+    behaviour across truncations, byte flips, and chunk-size corruption."""
+    import wave
+
+    from audio_analysis_tpu.io.audio import load_audio_mono
+
+    src = tmp_path / "good.wav"
+    pcm = (rng.randn(4800) * 3000).astype(np.int16)
+    with wave.open(str(src), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(48000)
+        w.writeframes(pcm.tobytes())
+    good = src.read_bytes()
+
+    f = tmp_path / "fuzz.wav"
+    n_ok = n_err = 0
+    cases = []
+    # truncations (every region: header, fmt, data)
+    cases += [good[:k] for k in (0, 4, 11, 12, 20, 36, 43, 44, 100, len(good) - 1)]
+    # single-byte flips across the file
+    for i in range(40):
+        pos = int(rng.randint(0, len(good)))
+        b = bytearray(good)
+        b[pos] ^= 0xFF
+        cases.append(bytes(b))
+    # chunk-size corruption: huge sizes, zero sizes
+    for val in (0, 1, 0x7FFFFFFF, 0xFFFFFFFF):
+        b = bytearray(good)
+        b[16:20] = val.to_bytes(4, "little")  # fmt chunk size
+        cases.append(bytes(b))
+        b = bytearray(good)
+        b[40:44] = val.to_bytes(4, "little")  # data chunk size
+        cases.append(bytes(b))
+    for payload in cases:
+        f.write_bytes(payload)
+        try:
+            y, sr = load_audio_mono(f)
+            assert isinstance(y, np.ndarray)
+            n_ok += 1
+        except Exception:
+            n_err += 1
+    # both outcomes must occur: some mutations are harmless (flip inside
+    # PCM data), the structural ones must raise
+    assert n_ok > 0 and n_err > 0
