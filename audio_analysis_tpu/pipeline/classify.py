@@ -286,16 +286,13 @@ def _apply_track_filters(frames, plan, sr):
     return sosfilt_array(jnp.asarray(sos_arr), stack)
 
 
-def build_window_grid(frames, sr, tracks, cfg: ModelConfig, rng=np.random, length=None):
-    """Plan + gather the window grid for a model config. Returns
-    (grid [N, sample], plan).
-
-    `length`: true recording length in samples when `frames` is a padded
-    bucket row (serving). Windows are planned/clamped against it — exactly
-    like the single-recording path whose frames have the true length — while
-    the gather stays on the static padded row (no per-length recompiles)."""
-    plan = plan_windows(
-        int(frames.shape[-1]) if length is None else int(length),
+def plan_for_config(length, sr, tracks, cfg: ModelConfig, rng=np.random):
+    """The ONE place a ModelConfig's planning knobs map onto plan_windows.
+    Every window-planning site (single-recording classify, batch serving's
+    finish step, build_window_grid) routes through here — a knob added to
+    the schema cannot silently diverge batch serving from the parity path."""
+    return plan_windows(
+        int(length),
         sr,
         tracks,
         cfg.segment_length,
@@ -306,6 +303,19 @@ def build_window_grid(frames, sr, tracks, cfg: ModelConfig, rng=np.random, lengt
         filter_below=cfg.filter_below,
         pad_short_tracks=cfg.pad_short_tracks,
         rng=rng,
+    )
+
+
+def build_window_grid(frames, sr, tracks, cfg: ModelConfig, rng=np.random, length=None):
+    """Plan + gather the window grid for a model config. Returns
+    (grid [N, sample], plan).
+
+    `length`: true recording length in samples when `frames` is a padded
+    bucket row (serving). Windows are planned/clamped against it — exactly
+    like the single-recording path whose frames have the true length — while
+    the gather stays on the static padded row (no per-length recompiles)."""
+    plan = plan_for_config(
+        frames.shape[-1] if length is None else length, sr, tracks, cfg, rng=rng
     )
     return gather_window_grid(frames, sr, plan)
 
@@ -488,19 +498,7 @@ def classify_frames(
             continue
 
         if track_data is None:
-            plan = plan_windows(
-                int(frames_dev.shape[-1]),
-                sr,
-                tracks,
-                cfg.segment_length,
-                cfg.segment_stride,
-                fmin=cfg.fmin,
-                fmax=cfg.fmax,
-                filter_freqs=cfg.filter_freq,
-                filter_below=cfg.filter_below,
-                pad_short_tracks=cfg.pad_short_tracks,
-                rng=rng,
-            )
+            plan = plan_for_config(frames_dev.shape[-1], sr, tracks, cfg, rng=rng)
             has_windows = len(plan.base) > 0
             plan = pad_plan_to_bucket(plan)
             # like the reference's ``data = track_data`` (:525-528): later

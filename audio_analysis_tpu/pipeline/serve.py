@@ -31,12 +31,13 @@ from audio_analysis_tpu.detect.signal_noise import (
     detect_batch_dispatch,
     detect_batch_finish,
 )
-from audio_analysis_tpu.pipeline.samples import plan_windows, WindowPlan, pad_plan_to_bucket
+from audio_analysis_tpu.pipeline.samples import WindowPlan, pad_plan_to_bucket
 from audio_analysis_tpu.pipeline.classify import (
     _fused_group_program,
     _bucket,
     apply_thresholds,
     gather_window_grid,
+    plan_for_config,
     features_for_config,
     _track_means,
 )
@@ -298,19 +299,7 @@ class BatchAnalyzer:
             for b, (length, signals) in enumerate(detections):
                 tracks = get_tracks_from_signals([s.copy() for s in signals], length)
                 per_rec_tracks.append((length, signals, tracks))
-                plan = plan_windows(
-                    int(n_valid[b]),
-                    sr,
-                    tracks,
-                    cfg0.segment_length,
-                    cfg0.segment_stride,
-                    fmin=cfg0.fmin,
-                    fmax=cfg0.fmax,
-                    filter_freqs=cfg0.filter_freq,
-                    filter_below=cfg0.filter_below,
-                    pad_short_tracks=cfg0.pad_short_tracks,
-                    rng=rng,
-                )
+                plan = plan_for_config(n_valid[b], sr, tracks, cfg0, rng=rng)
                 plans.append(plan)
                 all_tracks.append(tracks)
 
@@ -319,6 +308,17 @@ class BatchAnalyzer:
                 per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr,
                 stacked, timer=timer,
             )
+
+        if any(p.filter_specs for p in plans):
+            # some tracks need their per-track Butterworth band-pass
+            # (reference: src/identify_tracks.py:152-161) — take the
+            # per-recording grid path that applies it BEFORE building the
+            # combined plan / mesh-replicating the PCM (the replicated
+            # device_put of the whole batch would be discarded here)
+            with timer.stage("infer"):
+                self._infer_with_filters(frames_dev, sr, all_tracks, plans)
+            with timer.stage("post"):
+                return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
 
         combined = self._combine_plans(plans, t_bucket)
         flat_frames = frames_dev.reshape(-1)
@@ -332,15 +332,6 @@ class BatchAnalyzer:
 
         track_offset = np.cumsum([0] + [len(t) for t in all_tracks])
         n_total_tracks = int(track_offset[-1])
-
-        if any(p.filter_specs for p in plans):
-            # some tracks need their per-track Butterworth band-pass
-            # (reference: src/identify_tracks.py:152-161) — take the
-            # per-recording grid path that applies it
-            with timer.stage("infer"):
-                self._infer_with_filters(frames_dev, sr, all_tracks, plans)
-            with timer.stage("post"):
-                return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
 
         # dispatch EVERY group's program before blocking on any result:
         # a per-group blocking np.asarray would serialise group-2's device

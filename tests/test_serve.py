@@ -499,6 +499,12 @@ def test_batch_filter_seeded_rng_matches_single(tmp_path):
         t.set_master_tag()
     ref = [t.get_meta() for t in tracks]
     assert len(got["species_identify"]) == len(ref) >= 1
+    # guard against vacuity: the double-draw regression lives in the
+    # band-pass branch, which is taken only when a track's freq_end is
+    # below filter_below — pin that the fixture still triggers it
+    assert all(
+        t["freq_end"] < 20000 for t in got["species_identify"]
+    ), "fixture no longer exercises the filter_below band-pass branch"
     for a, b in zip(got["species_identify"], ref):
         pa = a["model_results"][0]["predictions"]
         pb = b["model_results"][0]["predictions"]
