@@ -282,3 +282,24 @@ def test_fuzz_track_merging(seed):
             b.freq_start,
             b.freq_end,
         )
+
+
+# ---------------------------------------------------------------------------
+# wide sweep (slow tier): the same six differential oracles over a seed
+# range the 25-seed fast tier can't reach. A 55k-seed one-off sweep
+# (tools/fuzz_sweep.py) ran clean on 2026-08-19; this keeps a 2000-seed
+# slice (~20 s) enforced in CI so rare-branch transcription drift cannot
+# land silently.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_fuzz_sweep_wide():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.fuzz_sweep import run_sweep
+
+    failures = run_sweep(2000, start=25)
+    assert not failures, failures[:5]
