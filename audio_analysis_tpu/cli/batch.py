@@ -39,8 +39,20 @@ def parse_args(argv=None):
     )
     p.add_argument("--poll-interval", type=float, default=2.0)
     p.add_argument("--max-polls", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument(
+        "--recycle-rss-mb",
+        type=int,
+        default=0,
+        help="watch mode: re-exec the daemon when host RSS exceeds this "
+        "(MB). The sidecar completion records make a restart lossless — "
+        "this bounds the footprint under host-memory leaks OUTSIDE the "
+        "framework (the remote-tunnel PJRT client retains every "
+        "host->device transfer's bytes; see docs/PERFORMANCE.md). "
+        "0 disables.",
+    )
     p.add_argument("files", nargs="+")
     args = p.parse_args(argv)
+    args.raw_argv = list(sys.argv[1:] if argv is None else argv)
     if not args.bird_model:
         args.bird_model = [
             "/models/pre-model/audioModel.keras",
@@ -91,6 +103,35 @@ def _pending(root, min_age, done, fail_counts, max_fails=3):
     return out
 
 
+def _rss_mb():
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+def _reexec(args):
+    """Replace this daemon with a fresh copy of itself (same argv). Sidecar
+    completion records carry all progress, so the only cost is the restart
+    (model load + persistent-compile-cache load). Per-file failure budgets
+    reset — a poison file regains its 3 attempts per daemon lifetime."""
+    logging.warning(
+        "rss %.0f MB over --recycle-rss-mb %d: re-exec'ing for a fresh heap",
+        _rss_mb(), args.recycle_rss_mb,
+    )
+    logging.shutdown()
+    import os
+
+    os.execv(
+        sys.executable,
+        [sys.executable, "-m", "audio_analysis_tpu.cli.batch", *args.raw_argv],
+    )
+
+
 def watch(args, analyzer, t0):
     """Poll the spool directory forever (or --max-polls times, for tests),
     analysing new recordings in warm batches. The per-file sidecar is the
@@ -98,14 +139,24 @@ def watch(args, analyzer, t0):
     the same unit-of-retry contract as the reference's one-container-per-
     recording deployment, without the cold start per file. No single bad
     input may take the daemon down: decode, analysis, and sidecar-write
-    failures are logged and budgeted per file (3 attempts), then skipped."""
+    failures are logged and budgeted per file (3 attempts), then skipped.
+
+    --recycle-rss-mb N bounds the host footprint: checked between chunks
+    (a large backlog must not OOM inside one poll) and after each poll;
+    over the threshold the daemon re-execs itself (see _reexec). Only
+    after analysis work has happened since exec — a fresh idle process
+    over the threshold is just its baseline footprint, and restarting
+    would loop without shrinking anything."""
     root = args.files[0]
     fail_counts = {}
     done = set()
     polls = 0
+    worked = False
     while args.max_polls is None or polls < args.max_polls:
         todo = _pending(root, args.poll_interval, done, fail_counts)
         for i in range(0, len(todo), args.batch_size):
+            if worked and args.recycle_rss_mb and _rss_mb() > args.recycle_rss_mb:
+                _reexec(args)
             chunk = todo[i : i + args.batch_size]
             t_batch = time.time()
             recs, good = [], []
@@ -122,7 +173,10 @@ def watch(args, analyzer, t0):
             if not good:
                 continue
             _analyse_chunk(analyzer, good, recs, fail_counts, done, t_batch)
+            worked = True
         polls += 1
+        if worked and args.recycle_rss_mb and _rss_mb() > args.recycle_rss_mb:
+            _reexec(args)
         if args.max_polls is None or polls < args.max_polls:
             time.sleep(args.poll_interval)
 

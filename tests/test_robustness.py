@@ -149,3 +149,58 @@ def test_watch_sidecar_write_failure_strikes_only_its_file(tmp_path, monkeypatch
     assert done == {files[0], files[2]}
     assert (tmp_path / "w0.txt").exists() and (tmp_path / "w2.txt").exists()
     assert not (tmp_path / "w1.txt").exists()
+
+
+def test_watch_recycles_on_rss_threshold(tmp_path, monkeypatch):
+    """--recycle-rss-mb re-execs the daemon (same argv, -m module form)
+    when host RSS crosses the threshold AFTER analysis work happened; the
+    sidecar completion records make the restart lossless. Motivated by
+    the measured remote-tunnel PJRT client leak (RSS grows by every
+    uploaded byte, tools/leak_repro_axon.py) — the daemon itself must
+    bound its footprint on such hosts."""
+    import sys
+    import numpy as np
+    import audio_analysis_tpu.cli.batch as batch_mod
+
+    calls = []
+    monkeypatch.setattr(batch_mod, "_rss_mb", lambda: 9999.0)
+    monkeypatch.setattr(
+        __import__("os"), "execv", lambda exe, argv: calls.append((exe, argv))
+    )
+    monkeypatch.setattr(
+        batch_mod, "load_recording",
+        lambda f, resample=None, prefer_int16=True: (np.zeros(100, np.int16), resample),
+    )
+
+    class FakeAnalyzer:
+        sr = 48000
+
+        def analyse_recordings(self, recs):
+            return [{} for _ in recs]
+
+    # idle spool: RSS over threshold but no work since exec -> NO recycle
+    # (a fresh process's baseline can exceed a low threshold; restarting
+    # in a loop would shrink nothing)
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    argv = ["--watch", "--max-polls", "1", "--poll-interval", "0",
+            "--recycle-rss-mb", "100", str(spool)]
+    args = batch_mod.parse_args(argv)
+    batch_mod.watch(args, FakeAnalyzer(), 0.0)
+    assert not calls, "idle daemon must not re-exec"
+
+    # pending file -> work happens -> recycle fires with verbatim argv
+    (spool / "a.wav").write_bytes(b"\0" * 64)
+    batch_mod.watch(args, FakeAnalyzer(), 0.0)
+    assert calls, "execv not invoked despite work + RSS over threshold"
+    exe, cmd = calls[0]
+    assert exe == sys.executable
+    assert cmd[:3] == [sys.executable, "-m", "audio_analysis_tpu.cli.batch"]
+    assert cmd[3:] == argv  # verbatim argv -> identical daemon config
+
+    # under the threshold: no recycle even with work
+    calls.clear()
+    monkeypatch.setattr(batch_mod, "_rss_mb", lambda: 50.0)
+    (spool / "a.txt").unlink()  # make a.wav pending again
+    batch_mod.watch(args, FakeAnalyzer(), 0.0)
+    assert not calls
