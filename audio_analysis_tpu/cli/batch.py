@@ -21,6 +21,7 @@ import numpy as np
 from audio_analysis_tpu.cli.analyse import init_logging, none_or_str
 from audio_analysis_tpu.io.audio import load_recording
 from audio_analysis_tpu.io.metadata import jsdump, write_sidecar_result
+from audio_analysis_tpu.utils.runtime import rss_mb as _rss_mb
 
 
 def parse_args(argv=None):
@@ -101,17 +102,6 @@ def _pending(root, min_age, done, fail_counts, max_fails=3):
             continue
         out.append(f)
     return out
-
-
-def _rss_mb():
-    try:
-        with open("/proc/self/status") as f:
-            for line in f:
-                if line.startswith("VmRSS"):
-                    return int(line.split()[1]) / 1024.0
-    except OSError:
-        pass
-    return 0.0
 
 
 def _reexec(args):

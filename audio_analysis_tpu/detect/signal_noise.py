@@ -713,19 +713,15 @@ def _batch_chunk_flatness(framesf, *, sr, hop_length, level, interpret=False):
             jnp.zeros((b, 1), framesf.dtype),
             jnp.ones((b, 1), framesf.dtype),
         )
-    # slab gather (same trick as ops.stft.frame — an explicit [C, S] index
-    # gather takes XLA-TPU minutes to compile): windows start every
-    # chunk*hop samples and span < 2 strides
-    stride = g["chunk"] * hop_length
-    k = -(-g["s"] // stride)
-    lead = g["m"] * hop_length
-    total = (n_chunks + k) * stride
-    padded = jnp.pad(framesf, ((0, 0), (lead, max(0, total - lead - t))))
-    z = padded[:, :total].reshape(b, n_chunks + k, stride)
-    win = jnp.concatenate([z[:, i : i + n_chunks, :] for i in range(k)], axis=-1)
-    win = win[..., : g["s"]].reshape(b * n_chunks, g["s"])
+    from audio_analysis_tpu.ops.pallas.melspec import (
+        gather_slabs,
+        pallas_mel_spectrogram,
+    )
 
-    from audio_analysis_tpu.ops.pallas.melspec import pallas_mel_spectrogram
+    win = gather_slabs(
+        framesf, hop_length=hop_length, n_windows=n_chunks,
+        c=g["chunk"], m=g["m"], s=g["s"],
+    )
 
     # interpret is only FORCED when true: tests monkeypatch the kernel entry
     # with partial(..., interpret=True), which an explicit False would

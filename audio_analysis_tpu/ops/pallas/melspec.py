@@ -980,6 +980,26 @@ def _magspec_core_dif(
     return out if keep is not None else out[:, :f]
 
 
+def gather_slabs(y, *, hop_length, n_windows, c, m, s):
+    """Hop-aligned slab gather shared by the mag and end-scan paths (same
+    trick as ops.stft.frame — an explicit [C, S] index gather takes XLA-TPU
+    minutes to compile): slabs start every ``c*hop`` samples, shifted ``m``
+    frames early so kernel frame ``m+i`` of slab ``w`` IS global frame
+    ``w*c+i`` (the global centre pad = the lead zeros; kernel frames < m
+    land in each slab's own zero pad and are dropped in-kernel via the
+    row0/keep margin contract). [b, t] -> [b*n_windows, s]."""
+    b, t = y.shape
+    stride = c * hop_length
+    kk = -(-s // stride)
+    lead = m * hop_length
+    total = (n_windows + kk) * stride
+    padded = jnp.pad(y, ((0, 0), (lead, max(0, total - lead - t))))
+    zz = padded[:, :total].reshape(b, n_windows + kk, stride)
+    return jnp.concatenate(
+        [zz[:, i : i + n_windows, :] for i in range(kk)], axis=-1
+    )[..., :s].reshape(b * n_windows, s)
+
+
 def pallas_stft_magnitude(
     y: jnp.ndarray,
     *,
@@ -1008,19 +1028,7 @@ def pallas_stft_magnitude(
     n_frames = 1 + t // hop_length
     m, c, s = g["m"], g["c"], g["s"]
     n_slabs = -(-n_frames // c)
-    # slab gather (same trick as ops.stft.frame): slabs start every c*hop
-    # samples, shifted m frames early so kernel frame m+i of slab w IS
-    # global frame w*c+i (the global centre pad = the lead zeros; kernel
-    # frames < m land in each slab's own zero pad and are dropped)
-    stride = c * hop_length
-    kk = -(-s // stride)
-    lead = m * hop_length
-    total = (n_slabs + kk) * stride
-    padded = jnp.pad(y, ((0, 0), (lead, max(0, total - lead - t))))
-    zz = padded[:, :total].reshape(b, n_slabs + kk, stride)
-    win = jnp.concatenate(
-        [zz[:, i : i + n_slabs, :] for i in range(kk)], axis=-1
-    )[..., :s].reshape(b * n_slabs, s)
+    win = gather_slabs(y, hop_length=hop_length, n_windows=n_slabs, c=c, m=m, s=s)
 
     consts = _device_weights_dif_mag(int(n_fft), window, int(exact))
     _bins, levels, nyq = _mag_layout(int(n_fft))

@@ -18,6 +18,7 @@ from audio_analysis_tpu.models.layers import resize_with_pad
 
 
 _WARNED_NO_PALLAS = False
+_WARNED_BAD_LEVEL = False
 
 
 def _pallas_backend() -> bool:
@@ -69,6 +70,22 @@ def _use_pallas_default() -> int:
     explicit = True
     if raw in _PALLAS_LEVELS:
         v = _PALLAS_LEVELS[raw]
+    elif raw and raw not in ("1", "true", "on", "yes", "0", "false", "off", "no"):
+        # near-miss strings (e.g. "exact-2", "exact3") must NOT silently
+        # disable the kernels below the unset default — warn and ignore
+        global _WARNED_BAD_LEVEL
+        if not _WARNED_BAD_LEVEL:
+            _WARNED_BAD_LEVEL = True
+            import logging
+
+            logging.warning(
+                "unrecognised AAT_PALLAS=%r (expected one of %s or a boolean);"
+                " using the default level",
+                raw,
+                sorted(_PALLAS_LEVELS),
+            )
+        explicit = False
+        v = PALLAS_EXACT2
     else:
         b = env_flag("AAT_PALLAS")
         if b is not None:

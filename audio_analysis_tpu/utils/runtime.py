@@ -33,6 +33,22 @@ def fast_mode() -> bool:
     return bool(env_flag("AAT_FAST"))
 
 
+def rss_mb() -> float:
+    """This process's resident set in MB (0.0 where /proc is unreadable).
+    One reader for the daemon's --recycle-rss-mb check and the soak/leak
+    tools — the axon tunnel client leaks host RSS by the bytes of every
+    host->device transfer (tools/leak_repro_axon.py), so RSS monitoring is
+    part of the serving story."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
 def enable_compilation_cache():
     """Idempotently point JAX at a persistent compilation cache dir."""
     global _CACHE_ENABLED

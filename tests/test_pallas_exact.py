@@ -126,6 +126,14 @@ def test_level_resolution(monkeypatch):
     assert fe._use_pallas_default() == fe.PALLAS_EXACT1
     monkeypatch.setenv("AAT_PALLAS", "1")
     assert fe._use_pallas_default() == fe.PALLAS_FAST
+    # near-miss strings must NOT silently disable the kernels below the
+    # unset default — warn once, keep the default level
+    monkeypatch.setenv("AAT_PALLAS", "exact3")
+    monkeypatch.setattr(fe, "_WARNED_BAD_LEVEL", False)
+    assert fe._use_pallas_default() == fe.PALLAS_EXACT2
+    assert fe._WARNED_BAD_LEVEL
+    monkeypatch.setenv("AAT_PALLAS", "exact-2")
+    assert fe._use_pallas_default() == fe.PALLAS_EXACT2
     # non-TPU backend: everything degrades to the XLA path
     monkeypatch.setattr(fe, "_pallas_backend", lambda: False)
     assert fe._use_pallas_default() == fe.PALLAS_OFF

@@ -33,6 +33,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
+# deliberately NOT utils.runtime.rss_mb: this repro must not import the
+# framework package (whose import-time jax config could confound "no
+# framework code involved")
 def rss_mb():
     with open("/proc/self/status") as f:
         for line in f:
