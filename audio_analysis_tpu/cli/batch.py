@@ -51,6 +51,15 @@ def parse_args(argv=None):
         "host->device transfer's bytes; see docs/PERFORMANCE.md). "
         "0 disables.",
     )
+    p.add_argument(
+        "--prewarm",
+        action="store_true",
+        help="compile the steady-state serving programs on a synthetic "
+        "batch before touching real work, so the first real batch runs at "
+        "warm latency (cold compiles over the tunnel take minutes). "
+        "Carried through --recycle-rss-mb re-execs, which therefore also "
+        "restart warm.",
+    )
     p.add_argument("files", nargs="+")
     args = p.parse_args(argv)
     args.raw_argv = list(sys.argv[1:] if argv is None else argv)
@@ -217,6 +226,14 @@ def run(argv=None):
     t0 = time.time()
     rng = np.random.RandomState(args.seed) if args.seed is not None else np.random
     analyzer = BatchAnalyzer(args.bird_model, rng=rng)
+    if args.prewarm:
+        t_warm = time.time()
+        stages = analyzer.prewarm(batch_size=args.batch_size)
+        logging.info(
+            "prewarm: %.1fs (%s)",
+            time.time() - t_warm,
+            ", ".join(f"{k} {v:.2f}s" for k, v in stages.items()),
+        )
     if args.watch:
         watch(args, analyzer, t0)
         return []

@@ -76,6 +76,50 @@ class BatchAnalyzer:
 
     # -- public -------------------------------------------------------------
 
+    def prewarm(self, batch_size=8, seed=0):
+        """Compile the steady-state serving programs before the first real
+        batch: a synthetic bucket-length batch with tonal content (tones
+        detect as real tracks, so the window-gather/frontend/model/track-
+        means programs compile too, not just the detect program) runs
+        through ``analyse_recordings`` and its results are discarded.
+
+        Covers the common-case program set — the codec decode tiers, the
+        detect program at the standard bucket, speculative run extraction,
+        and each model group's fused program at the first window/track
+        buckets. Unusually busy recordings can still hit a bigger window
+        bucket and compile on first sight; the persistent compile cache
+        (utils.runtime.enable_compilation_cache) absorbs those across
+        process restarts.
+
+        Runs on a PRIVATE rng: a seeded analyzer must produce the same
+        stream of results whether or not it was prewarmed (window planning
+        draws from self.rng — pinned by test). Returns the warm-up batch's
+        per-stage seconds (the compile cost, for logs)."""
+        from audio_analysis_tpu.utils.runtime import StageTimer
+
+        prng = np.random.RandomState(seed)
+        t = np.arange(self.bucket, dtype=np.float32) / self.sr
+        recs = []
+        for i in range(int(batch_size)):
+            y = 0.01 * prng.randn(self.bucket).astype(np.float32)
+            # a few well-separated tones -> a handful of tracks per
+            # recording (the shape a real bird-audio batch produces)
+            for k, f0 in enumerate((900.0, 2600.0, 4800.0)):
+                t0 = (2.0 + 7.0 * k + 0.5 * i) % max(1.0, t[-1] - 2.0)
+                m = (t >= t0) & (t < t0 + 1.0)
+                y[m] += 0.4 * np.sin(2 * np.pi * (f0 + 37.0 * i) * t[m]).astype(
+                    np.float32
+                )
+            recs.append((np.clip(y, -1, 1) * 32767).astype(np.int16))
+        timer = StageTimer()
+        saved_rng = self.rng
+        self.rng = np.random.RandomState(seed)
+        try:
+            self.analyse_recordings(recs, timer=timer)
+        finally:
+            self.rng = saved_rng
+        return timer.as_dict()
+
     def analyse_recordings(self, recordings, sr=None, timer=None):
         """recordings: list of mono float32/int16 numpy arrays at self.sr.
         Returns a list of result dicts (species_identify schema).

@@ -204,3 +204,29 @@ def test_watch_recycles_on_rss_threshold(tmp_path, monkeypatch):
     (spool / "a.txt").unlink()  # make a.wav pending again
     batch_mod.watch(args, FakeAnalyzer(), 0.0)
     assert not calls
+
+
+def test_batch_cli_prewarm_runs_before_first_batch(model_dir, tmp_path, monkeypatch):
+    """--prewarm compiles on a synthetic batch BEFORE any real file is
+    analysed (full-bucket prewarm is exercised for real in test_serve;
+    here we pin the CLI contract cheaply)."""
+    from audio_analysis_tpu.pipeline.serve import BatchAnalyzer
+
+    calls = []
+    monkeypatch.setattr(
+        BatchAnalyzer, "prewarm",
+        lambda self, batch_size=8, seed=0: calls.append(batch_size) or {"dispatch": 1.0},
+    )
+    orig = BatchAnalyzer.analyse_recordings
+
+    def spy(self, recs, *a, **kw):
+        assert calls, "prewarm must run before the first real batch"
+        return orig(self, recs, *a, **kw)
+
+    monkeypatch.setattr(BatchAnalyzer, "analyse_recordings", spy)
+    rng = np.random.RandomState(3)
+    p = tmp_path / "w.wav"
+    write_wav(p, (0.05 * rng.randn(6 * SR)).astype(np.float32), SR)
+    batch_run(["--prewarm", "--batch-size", "4", "--bird-model", str(model_dir), str(p)])
+    assert calls == [4]
+    assert "analysis_result" in json.loads((tmp_path / "w.txt").read_text())

@@ -510,3 +510,38 @@ def test_batch_filter_seeded_rng_matches_single(tmp_path):
         pb = b["model_results"][0]["predictions"]
         # identical rng draws -> identical windows -> identical confidences
         assert pa == pb
+
+
+def test_prewarm_compiles_everything_and_preserves_seeded_results(model_dir):
+    """prewarm() leaves no classify program left to compile for a
+    typical same-bucket batch, and a seeded analyzer produces the exact
+    same results whether or not it was prewarmed (prewarm planning draws
+    from a PRIVATE rng, never the shared one)."""
+    import importlib
+
+    # the pipeline package exposes a `classify` FUNCTION that shadows the
+    # submodule attribute — go through importlib for the module itself
+    cls = importlib.import_module("audio_analysis_tpu.pipeline.classify")
+
+    recs = [
+        (np.clip(_rec(s), -1, 1) * 32767).astype(np.int16) for s in (0, 1)
+    ]
+
+    warmed = BatchAnalyzer(
+        [str(model_dir)], sr=SR, bucket_seconds=12, rng=np.random.RandomState(7)
+    )
+    stages = warmed.prewarm(batch_size=2)
+    assert stages.get("dispatch", 0) > 0  # it really ran a batch
+    n_programs = len(cls._GROUP_PROGRAMS)
+    got = warmed.analyse_recordings(recs)
+    # the real batch (same bucket, typical track counts) found every
+    # fused program already compiled
+    assert len(cls._GROUP_PROGRAMS) == n_programs
+
+    cold = BatchAnalyzer(
+        [str(model_dir)], sr=SR, bucket_seconds=12, rng=np.random.RandomState(7)
+    )
+    ref = cold.analyse_recordings(recs)
+    assert json.dumps(got, sort_keys=True, default=str) == json.dumps(
+        ref, sort_keys=True, default=str
+    )
