@@ -61,13 +61,19 @@ def _random_meta(rng):
     return meta
 
 
-def _model_dir_for(meta, tmp_path, rng_seed):
+def _feature_shape(meta):
     cfg = ModelConfig.from_meta(meta)
     probe = features_for_config(
         np.zeros((1, int(cfg.segment_length * SR)), np.float32), SR, cfg
     )
+    return probe.shape[1:]
+
+
+def _model_dir_for(meta, tmp_path, rng_seed, input_shape=None):
+    if input_shape is None:
+        input_shape = _feature_shape(meta)
     tf.keras.utils.set_random_seed(rng_seed)
-    inp = tf.keras.Input(probe.shape[1:])
+    inp = tf.keras.Input(input_shape)
     x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
     x = tf.keras.layers.GlobalAveragePooling2D()(x)
     out = tf.keras.layers.Dense(len(LABELS), activation="softmax")(x)
@@ -103,11 +109,34 @@ def _assert_equal_results(got, ref_tracks):
         assert a["end_s"] == pytest.approx(b["end_s"])
         assert a["freq_start"] == b["freq_start"]
         assert a["freq_end"] == b["freq_end"]
-        pa = a["model_results"][0]["predictions"]
-        pb = b["model_results"][0]["predictions"]
-        assert [p["label"] for p in pa] == [p["label"] for p in pb]
-        for x, y in zip(pa, pb):
-            assert abs(x["confidence"] - y["confidence"]) <= 1
+        assert len(a["model_results"]) == len(b["model_results"])
+        for ma, mb in zip(a["model_results"], b["model_results"]):
+            assert ma["model"] == mb["model"]
+            assert ma["pre_model"] == mb["pre_model"]
+            pa, pb = ma["predictions"], mb["predictions"]
+            assert [p["label"] for p in pa] == [p["label"] for p in pb]
+            for x, y in zip(pa, pb):
+                assert abs(x["confidence"] - y["confidence"]) <= 1
+
+
+def _two_group_dirs(rng, tmp_path, seed):
+    """Main group + pre-model group with INDEPENDENTLY drawn configs.
+
+    Later groups consume group-1's features verbatim (reference
+    src/identify_tracks.py:525-528 ``data = track_data``; see
+    pipeline/classify.py::classify_frames), so the pre-model's network is
+    built on GROUP-1's feature shape while its metadata draws its own —
+    possibly conflicting — spectral knobs, exactly the deployed-ensemble
+    shape (released pre-model and bird-model metadata differ)."""
+    meta1 = _random_meta(rng)
+    meta2 = _random_meta(rng)
+    meta2["name"] = "prefuzznet"
+    meta2["pre_model"] = True
+    d1 = _model_dir_for(meta1, tmp_path, seed)
+    d2 = _model_dir_for(
+        meta2, tmp_path, seed + 500, input_shape=_feature_shape(meta1)
+    )
+    return d1, d2
 
 
 @pytest.mark.slow
@@ -128,4 +157,24 @@ def test_config_fuzz_batch_matches_single(tmp_path, seed):
         tracks, length, signals, raw_length, bird_labels = classify_frames(
             rec, SR, [str(d)], False, None, rng=None
         )
+        _assert_equal_results(got, tracks)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(4))
+def test_config_fuzz_two_groups_batch_matches_single(tmp_path, seed):
+    """Main + pre-model groups with independently drawn configs: the
+    cross-group feature-reuse plumbing (group 2 consumes group-1's
+    features verbatim) must agree between batch serving and the
+    single-recording path for EVERY group's predictions."""
+    rng = np.random.RandomState(7000 + seed)
+    d1, d2 = _two_group_dirs(rng, tmp_path, seed)
+    recs = _recs(rng)
+
+    dirs = [str(d1), str(d2)]
+    analyzer = BatchAnalyzer(dirs, sr=SR, bucket_seconds=8, rng=None)
+    batch = analyzer.analyse_recordings(recs)
+
+    for rec, got in zip(recs, batch):
+        tracks, *_ = classify_frames(rec, SR, dirs, False, None, rng=None)
         _assert_equal_results(got, tracks)
