@@ -18,9 +18,9 @@ import time
 
 import numpy as np
 
-from audio_analysis_tpu.cli.analyse import init_logging, none_or_str
+from audio_analysis_tpu.cli.analyse import init_logging, none_or_str, str2bool
 from audio_analysis_tpu.io.audio import load_recording
-from audio_analysis_tpu.io.metadata import jsdump, write_sidecar_result
+from audio_analysis_tpu.io.metadata import jsdump, read_sidecar, write_sidecar_result
 from audio_analysis_tpu.utils.runtime import rss_mb as _rss_mb
 
 
@@ -59,6 +59,14 @@ def parse_args(argv=None):
         "warm latency (cold compiles over the tunnel take minutes). "
         "Carried through --recycle-rss-mb re-execs, which therefore also "
         "restart warm.",
+    )
+    p.add_argument(
+        "--analyse-tracks",
+        type=str2bool,
+        default=False,
+        help="classify the tracks listed in each recording's sidecar "
+        "metadata instead of running signal detection (reference "
+        "--analyse-tracks); results carry per-track labels only.",
     )
     p.add_argument("files", nargs="+")
     args = p.parse_args(argv)
@@ -158,7 +166,7 @@ def watch(args, analyzer, t0):
                 _reexec(args)
             chunk = todo[i : i + args.batch_size]
             t_batch = time.time()
-            recs, good = [], []
+            recs, good, metas = [], [], []
             for f in chunk:
                 try:
                     frames, _ = load_recording(
@@ -166,12 +174,16 @@ def watch(args, analyzer, t0):
                     )
                     recs.append(frames)
                     good.append(f)
+                    metas.append(_safe_sidecar(f))
                 except Exception:
                     fail_counts[f] = fail_counts.get(f, 0) + 1
                     logging.error("failed to decode %s", f, exc_info=True)
             if not good:
                 continue
-            _analyse_chunk(analyzer, good, recs, fail_counts, done, t_batch)
+            _analyse_chunk(
+                analyzer, good, recs, fail_counts, done, t_batch,
+                metas=metas, analyse_tracks=args.analyse_tracks,
+            )
             worked = True
         polls += 1
         if worked and args.recycle_rss_mb and _rss_mb() > args.recycle_rss_mb:
@@ -180,7 +192,10 @@ def watch(args, analyzer, t0):
             time.sleep(args.poll_interval)
 
 
-def _analyse_chunk(analyzer, files, recs, fail_counts, done, t_batch):
+def _analyse_chunk(
+    analyzer, files, recs, fail_counts, done, t_batch, metas=None,
+    analyse_tracks=False,
+):
     """Analyse `files` and write each sidecar, isolating failures per file.
 
     A batch-level analysis failure bisects down to the offending
@@ -190,7 +205,9 @@ def _analyse_chunk(analyzer, files, recs, fail_counts, done, t_batch):
     A sidecar-write failure likewise strikes only its own file — the
     remaining results in the batch are still written."""
     try:
-        results = analyzer.analyse_recordings(recs)
+        results = analyzer.analyse_recordings(
+            recs, meta_data=metas, analyse_tracks=analyse_tracks
+        )
     except Exception:
         if len(files) == 1:
             f = files[0]
@@ -203,8 +220,14 @@ def _analyse_chunk(analyzer, files, recs, fail_counts, done, t_batch):
             exc_info=True,
         )
         mid = len(files) // 2
-        _analyse_chunk(analyzer, files[:mid], recs[:mid], fail_counts, done, t_batch)
-        _analyse_chunk(analyzer, files[mid:], recs[mid:], fail_counts, done, t_batch)
+        _analyse_chunk(
+            analyzer, files[:mid], recs[:mid], fail_counts, done, t_batch,
+            metas=metas[:mid] if metas else None, analyse_tracks=analyse_tracks,
+        )
+        _analyse_chunk(
+            analyzer, files[mid:], recs[mid:], fail_counts, done, t_batch,
+            metas=metas[mid:] if metas else None, analyse_tracks=analyse_tracks,
+        )
         return
     for fname, result in zip(files, results):
         result["processing_time_seconds"] = round(time.time() - t_batch, 1)
@@ -241,15 +264,31 @@ def run(argv=None):
     def batches():
         for i in range(0, len(args.files), args.batch_size):
             chunk = args.files[i : i + args.batch_size]
-            recs = []
+            recs, metas = [], []
             for f in chunk:
                 frames, _ = load_recording(f, resample=analyzer.sr, prefer_int16=True)
                 recs.append(frames)
-            yield chunk, recs
+                metas.append(_safe_sidecar(f))
+            yield chunk, recs, metas
 
     all_results = []
-    names = []
-    stream = analyzer.analyse_stream((recs for _, recs in _tee_names(batches(), names)))
+    names, meta_q = [], []
+
+    def rec_gen():
+        for chunk, recs, metas in batches():
+            names.append(chunk)
+            meta_q.append(metas)
+            yield recs
+
+    def meta_gen():
+        # analyse_stream pulls exactly one meta list per batch, AFTER
+        # pulling that batch from rec_gen — the queue entry is always there
+        while True:
+            yield meta_q.pop(0)
+
+    stream = analyzer.analyse_stream(
+        rec_gen(), meta_batches=meta_gen(), analyse_tracks=args.analyse_tracks
+    )
     for batch_results in stream:
         for fname, result in zip(names.pop(0), batch_results):
             result["processing_time_seconds"] = round(time.time() - t0, 1)
@@ -262,10 +301,15 @@ def run(argv=None):
     return all_results
 
 
-def _tee_names(gen, names_out):
-    for chunk, recs in gen:
-        names_out.append(chunk)
-        yield chunk, recs
+def _safe_sidecar(f):
+    """Sidecar metadata for location filtering / --analyse-tracks; an
+    unreadable sidecar degrades to None (same as no sidecar) rather than
+    failing the whole batch."""
+    try:
+        return read_sidecar(f)
+    except Exception:
+        logging.warning("unreadable sidecar for %s; analysing without", f)
+        return None
 
 
 def main():

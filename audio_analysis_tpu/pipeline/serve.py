@@ -47,6 +47,7 @@ from audio_analysis_tpu.pipeline.cacophony import (
     get_chirps,
     get_max_chirps,
 )
+from audio_analysis_tpu.pipeline.ebird import filter_by_location
 from audio_analysis_tpu.models.registry import load_classifier
 
 
@@ -120,9 +121,22 @@ class BatchAnalyzer:
             self.rng = saved_rng
         return timer.as_dict()
 
-    def analyse_recordings(self, recordings, sr=None, timer=None):
+    def analyse_recordings(
+        self, recordings, sr=None, timer=None, meta_data=None, analyse_tracks=False
+    ):
         """recordings: list of mono float32/int16 numpy arrays at self.sr.
         Returns a list of result dicts (species_identify schema).
+
+        `meta_data`: optional list (len B) of per-recording sidecar dicts
+        (or None entries). Location metadata drives eBird filtering exactly
+        like the single-recording path (pipeline/analysis.py:43-44 —
+        filter_by_location BEFORE master tags). With `analyse_tracks=True`
+        tracks come from each entry's "Tracks" list instead of signal
+        detection (reference --analyse-tracks, src/identify_tracks.py:
+        422-433) — detection is skipped entirely and results carry only
+        per-track labels (no chirps/cacophony block, matching
+        pipeline/analysis.py:55-69); a recording with no metadata yields
+        an empty track list, like the single path's None return.
 
         `timer`: optional StageTimer; with AAT_TIMINGS=1 each result carries
         the batch-level per-stage wall clock under "timing" (the stages are
@@ -133,18 +147,22 @@ class BatchAnalyzer:
 
         timer = timer or StageTimer()
         with timer.stage("dispatch"):
-            handle = self._dispatch(recordings, sr)
+            handle = self._dispatch(recordings, sr, meta_data, analyse_tracks)
         results = self._finish(handle, timer=timer)
         if os.environ.get("AAT_TIMINGS", "").lower() in ("1", "true", "on"):
             for r in results:
                 r["timing"] = timer.as_dict()
         return results
 
-    def analyse_stream(self, batches, sr=None):
+    def analyse_stream(self, batches, sr=None, meta_batches=None, analyse_tracks=False):
         """Pipelined serving: yields result lists per batch, dispatching the
         next batch's upload + detection while the current batch's host work
         (CCL, track merge, post) runs — JAX dispatch is async, so device and
         host overlap with no extra machinery.
+
+        `meta_batches`: optional iterable zipped with `batches` — each item
+        a list of per-recording sidecar dicts (see analyse_recordings).
+        `analyse_tracks` applies to the whole stream.
 
         By default (AAT_ASYNC_UPLOAD unset or =1) each batch's encode + wire
         transfer additionally runs on a background thread, so the NEXT
@@ -170,10 +188,12 @@ class BatchAnalyzer:
 
         flag = env_flag("AAT_ASYNC_UPLOAD")
         use_async = (True if flag is None else flag) and not self._multihost
+        metas = iter(meta_batches) if meta_batches is not None else None
         if not use_async:
             prev = None
             for batch in batches:
-                handle = self._dispatch(batch, sr)
+                md = next(metas) if metas is not None else None
+                handle = self._dispatch(batch, sr, md, analyse_tracks)
                 if prev is not None:
                     yield self._finish(prev)
                 prev = handle
@@ -192,7 +212,8 @@ class BatchAnalyzer:
         try:
             prev = None
             for batch in batches:
-                prep = enc_pool.submit(self._prepare, batch, sr)
+                md = next(metas) if metas is not None else None
+                prep = enc_pool.submit(self._prepare, batch, sr, md, analyse_tracks)
                 fut = up_pool.submit(self._dispatch_when_ready, prep)
                 if prev is not None:
                     # prev's upload ran while the batch BEFORE it finished;
@@ -215,10 +236,12 @@ class BatchAnalyzer:
     def _multihost(self):
         return self.mesh is not None and jax.process_count() > 1
 
-    def _dispatch(self, recordings, sr=None):
-        return self._dispatch_prepared(self._prepare(recordings, sr))
+    def _dispatch(self, recordings, sr=None, meta_data=None, analyse_tracks=False):
+        return self._dispatch_prepared(
+            self._prepare(recordings, sr, meta_data, analyse_tracks)
+        )
 
-    def _prepare(self, recordings, sr=None):
+    def _prepare(self, recordings, sr=None, meta_data=None, analyse_tracks=False):
         """Host-only half of `_dispatch`: validation, stacking, and (codec
         path) the wire ENCODE — no device interaction, so the stream's
         encode worker can run it for batch k+1 while batch k still owns the
@@ -286,14 +309,18 @@ class BatchAnalyzer:
             from audio_analysis_tpu.io.pcmcodec import encode_pcm
 
             enc = encode_pcm(stacked)
-        return (stacked, n_valid, t_bucket, B, sr, use_codec, enc)
+        return (stacked, n_valid, t_bucket, B, sr, use_codec, enc,
+                meta_data, analyse_tracks)
 
     def _dispatch_prepared(self, prep):
         """Device half of `_dispatch`: upload (codec decode or device_put)
-        and the detect-program dispatch."""
+        and the detect-program dispatch (skipped under analyse_tracks —
+        tracks come from metadata, and nothing downstream consumes the
+        detected signals in that mode)."""
         if prep is None:
             return None
-        stacked, n_valid, t_bucket, B, sr, use_codec, enc = prep
+        (stacked, n_valid, t_bucket, B, sr, use_codec, enc,
+         meta_data, analyse_tracks) = prep
         if use_codec:
             # lossless residual codec + multi-stream tier upload + on-device
             # unpack: measured 1.5x faster than the raw int16 device_put for
@@ -301,28 +328,36 @@ class BatchAnalyzer:
             from audio_analysis_tpu.io.pcmcodec import upload_pcm_encoded
 
             frames_dev = upload_pcm_encoded(stacked, enc)
-            detect_handle = detect_batch_dispatch(frames_dev, n_valid, sr)
-            return (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked)
-        if self._multihost:
+            detect_handle = (
+                None if analyse_tracks
+                else detect_batch_dispatch(frames_dev, n_valid, sr)
+            )
+        elif self._multihost:
             from audio_analysis_tpu.parallel.distributed import make_global_batch
             from jax.sharding import PartitionSpec as P
 
             # per-process feeding: this host contributes only its block
             frames_dev = make_global_batch(self.mesh, stacked)
             n_valid_dev = make_global_batch(self.mesh, n_valid, P("data"))
-            detect_handle = detect_batch_dispatch(frames_dev, n_valid_dev, sr)
-            return (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked)
-        if self.mesh is not None and B % self.mesh.shape["data"] == 0:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            frames_dev = jax.device_put(
-                stacked, NamedSharding(self.mesh, P("data", None))
+            detect_handle = (
+                None if analyse_tracks
+                else detect_batch_dispatch(frames_dev, n_valid_dev, sr)
             )
         else:
-            frames_dev = jnp.asarray(stacked)
+            if self.mesh is not None and B % self.mesh.shape["data"] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-        detect_handle = detect_batch_dispatch(frames_dev, n_valid, sr)
-        return (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked)
+                frames_dev = jax.device_put(
+                    stacked, NamedSharding(self.mesh, P("data", None))
+                )
+            else:
+                frames_dev = jnp.asarray(stacked)
+            detect_handle = (
+                None if analyse_tracks
+                else detect_batch_dispatch(frames_dev, n_valid, sr)
+            )
+        return (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked,
+                meta_data, analyse_tracks)
 
     def _finish(self, handle, timer=None):
         from audio_analysis_tpu.utils.runtime import StageTimer
@@ -330,27 +365,50 @@ class BatchAnalyzer:
         timer = timer or StageTimer()
         if handle is None:
             return []
-        detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked = handle
-        with timer.stage("detect"):
-            detections = detect_batch_finish(detect_handle)
-
+        (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked,
+         meta_data, analyse_tracks) = handle
+        rng = self.rng
+        cfg0 = self.groups[0][0][1]
         per_rec_tracks = []
         all_tracks = []
         plans = []
-        rng = self.rng
-        cfg0 = self.groups[0][0][1]
-        with timer.stage("plan"):
-            for b, (length, signals) in enumerate(detections):
-                tracks = get_tracks_from_signals([s.copy() for s in signals], length)
-                per_rec_tracks.append((length, signals, tracks))
-                plan = plan_for_config(n_valid[b], sr, tracks, cfg0, rng=rng)
-                plans.append(plan)
-                all_tracks.append(tracks)
+        if analyse_tracks:
+            # tracks from sidecar metadata (reference --analyse-tracks,
+            # src/identify_tracks.py:422-433); no detection ran
+            with timer.stage("plan"):
+                for b in range(B):
+                    md = meta_data[b] if meta_data is not None else None
+                    tracks = []
+                    if md is not None and "Tracks" in md:
+                        for t in md["Tracks"]:
+                            s = Signal(
+                                t["start"], t["end"],
+                                t.get("minFreq", 0),
+                                t.get("maxFreq", MAX_FREQUENCY),
+                            )
+                            s.track_id = t["id"]
+                            tracks.append(s)
+                    per_rec_tracks.append((int(n_valid[b]) / sr, [], tracks))
+                    plans.append(plan_for_config(n_valid[b], sr, tracks, cfg0, rng=rng))
+                    all_tracks.append(tracks)
+        else:
+            with timer.stage("detect"):
+                detections = detect_batch_finish(detect_handle)
+            with timer.stage("plan"):
+                for b, (length, signals) in enumerate(detections):
+                    tracks = get_tracks_from_signals(
+                        [s.copy() for s in signals], length
+                    )
+                    per_rec_tracks.append((length, signals, tracks))
+                    plan = plan_for_config(n_valid[b], sr, tracks, cfg0, rng=rng)
+                    plans.append(plan)
+                    all_tracks.append(tracks)
 
         if self._multihost:
             return self._finish_multihost(
                 per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr,
-                stacked, timer=timer,
+                stacked, timer=timer, meta_data=meta_data,
+                analyse_tracks=analyse_tracks,
             )
 
         if any(p.filter_specs for p in plans):
@@ -362,7 +420,10 @@ class BatchAnalyzer:
             with timer.stage("infer"):
                 self._infer_with_filters(frames_dev, sr, all_tracks, plans)
             with timer.stage("post"):
-                return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
+                return self._post(
+                    per_rec_tracks, all_tracks, n_valid, sr, B,
+                    meta_data=meta_data, analyse_tracks=analyse_tracks,
+                )
 
         combined = self._combine_plans(plans, t_bucket)
         flat_frames = frames_dev.reshape(-1)
@@ -444,11 +505,14 @@ class BatchAnalyzer:
                         )
 
         with timer.stage("post"):
-            return self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
+            return self._post(
+                per_rec_tracks, all_tracks, n_valid, sr, B,
+                meta_data=meta_data, analyse_tracks=analyse_tracks,
+            )
 
     def _finish_multihost(
         self, per_rec_tracks, all_tracks, plans, frames_dev, n_valid, t_bucket, B, sr,
-        stacked, timer=None,
+        stacked, timer=None, meta_data=None, analyse_tracks=False,
     ):
         """SPMD inference across processes: every process executes the SAME
         global programs (windows sharded along 'data'; XLA inserts the psum
@@ -473,7 +537,10 @@ class BatchAnalyzer:
                     jnp.asarray(stacked), sr, all_tracks, plans
                 )
             with timer.stage("post") if timer else _nullctx():
-                results = self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
+                results = self._post(
+                    per_rec_tracks, all_tracks, n_valid, sr, B,
+                    meta_data=meta_data, analyse_tracks=analyse_tracks,
+                )
                 return dist.allgather_results(results)
 
         base_row = dist.local_offset(frames_dev)
@@ -540,7 +607,10 @@ class BatchAnalyzer:
                 )
 
         with timer.stage("post") if timer else _nullctx():
-            results = self._post(per_rec_tracks, all_tracks, n_valid, sr, B)
+            results = self._post(
+                per_rec_tracks, all_tracks, n_valid, sr, B,
+                meta_data=meta_data, analyse_tracks=analyse_tracks,
+            )
             return dist.allgather_results(results)
 
     def _infer_with_filters(self, frames_dev, sr, all_tracks, plans):
@@ -587,7 +657,8 @@ class BatchAnalyzer:
                 )
                 apply_thresholds(tracks, track_probs, windows_per_track, cfg)
 
-    def _post(self, per_rec_tracks, all_tracks, n_valid, sr, B):
+    def _post(self, per_rec_tracks, all_tracks, n_valid, sr, B,
+              meta_data=None, analyse_tracks=False):
         # host post-processing per recording
         results = []
         for b in range(B):
@@ -595,8 +666,23 @@ class BatchAnalyzer:
             bird_labels = set()
             for _, cfg in self.groups[0] + (self.groups[1] if len(self.groups) > 1 else []):
                 bird_labels.update(cfg.bird_labels)
+            # location metadata -> eBird filtering BEFORE master tags,
+            # matching the single path's ordering (pipeline/analysis.py:43-47)
+            if meta_data is not None and meta_data[b] is not None:
+                filter_by_location(meta_data[b], tracks)
             for t in tracks:
                 t.set_master_tag()
+            if analyse_tracks:
+                # per-track labels only — no chirps/cacophony block
+                # (reference analyse.py:157-171 is gated on not analyse_tracks)
+                results.append(
+                    {
+                        "non_bird_tags": NON_BIRD,
+                        "species_identify": [t.get_meta() for t in tracks],
+                        "species_identify_version": "2025-12-01",
+                    }
+                )
+                continue
             rec_signals = [s.to_array() for s in signals]
             chirps = get_chirps(tracks, list(bird_labels), signals)
             cacophony_index, _ = calc_cacophony_index(filter_tracks(tracks), length)

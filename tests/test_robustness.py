@@ -97,7 +97,7 @@ def test_watch_bisect_isolates_poison_file(tmp_path):
     from audio_analysis_tpu.cli.batch import _analyse_chunk
 
     class FakeAnalyzer:
-        def analyse_recordings(self, recs):
+        def analyse_recordings(self, recs, **kw):
             if any(r is None for r in recs):
                 raise RuntimeError("poison recording")
             return [{"ok": True} for _ in recs]
@@ -125,7 +125,7 @@ def test_watch_sidecar_write_failure_strikes_only_its_file(tmp_path, monkeypatch
     import audio_analysis_tpu.cli.batch as batch_mod
 
     class FakeAnalyzer:
-        def analyse_recordings(self, recs):
+        def analyse_recordings(self, recs, **kw):
             return [{"ok": i} for i in range(len(recs))]
 
     files = [tmp_path / f"w{i}.wav" for i in range(3)]
@@ -175,7 +175,7 @@ def test_watch_recycles_on_rss_threshold(tmp_path, monkeypatch):
     class FakeAnalyzer:
         sr = 48000
 
-        def analyse_recordings(self, recs):
+        def analyse_recordings(self, recs, **kw):
             return [{} for _ in recs]
 
     # idle spool: RSS over threshold but no work since exec -> NO recycle
@@ -230,3 +230,37 @@ def test_batch_cli_prewarm_runs_before_first_batch(model_dir, tmp_path, monkeypa
     batch_run(["--prewarm", "--batch-size", "4", "--bird-model", str(model_dir), str(p)])
     assert calls == [4]
     assert "analysis_result" in json.loads((tmp_path / "w.txt").read_text())
+
+
+def test_batch_cli_analyse_tracks(model_dir, tmp_path, capsys):
+    """--analyse-tracks true: tracks come from each file's sidecar metadata;
+    results carry per-track labels only (reference --analyse-tracks)."""
+    rng = np.random.RandomState(2)
+    t = np.arange(8 * SR) / SR
+    y = (0.01 * rng.randn(len(t))).astype(np.float32)
+    m = (t > 1) & (t < 5)
+    y[m] += (0.4 * np.sin(2 * np.pi * 2500 * t[m])).astype(np.float32)
+    p = tmp_path / "tracked.wav"
+    write_wav(p, y, SR)
+    (tmp_path / "tracked.txt").write_text(
+        json.dumps(
+            {
+                "Tracks": [
+                    {"id": 7, "start": 1.0, "end": 5.0, "minFreq": 1500, "maxFreq": 4000},
+                    {"id": 8, "start": 6.0, "end": 7.5},
+                ]
+            }
+        )
+    )
+    batch_run(
+        ["--analyse-tracks", "true", "--bird-model", str(model_dir),
+         "--seed", "0", str(p)]
+    )
+    side = json.loads((tmp_path / "tracked.txt").read_text())
+    assert side["Tracks"][0]["id"] == 7  # original metadata preserved
+    result = side["analysis_result"]
+    assert "chirps" not in result and "cacophony_index" not in result
+    ids = [t["track_id"] for t in result["species_identify"]]
+    assert ids == [7, 8]
+    for tr in result["species_identify"]:
+        assert tr["model_results"][0]["predictions"]

@@ -545,3 +545,136 @@ def test_prewarm_compiles_everything_and_preserves_seeded_results(model_dir):
     assert json.dumps(got, sort_keys=True, default=str) == json.dumps(
         ref, sort_keys=True, default=str
     )
+
+
+def _labels_only_oracle(rec, md, model_dirs):
+    """Single-path analyse-tracks result (pipeline/analysis.py:43-72 with
+    analyse_tracks=True: filter_by_location -> master tags -> labels only)."""
+    from audio_analysis_tpu.io.modelconfig import NON_BIRD
+    from audio_analysis_tpu.pipeline.ebird import filter_by_location
+
+    res = classify_frames(rec, SR, model_dirs, True, md, rng=None)
+    if res is None:
+        return {
+            "non_bird_tags": NON_BIRD,
+            "species_identify": [],
+            "species_identify_version": "2025-12-01",
+        }
+    tracks, *_ = res
+    if md is not None:
+        filter_by_location(md, tracks)
+    for t in tracks:
+        t.set_master_tag()
+    return {
+        "non_bird_tags": NON_BIRD,
+        "species_identify": [t.get_meta() for t in tracks],
+        "species_identify_version": "2025-12-01",
+    }
+
+
+def _assert_tracks_equal(got_list, ref_list):
+    assert len(got_list) == len(ref_list)
+    for a, b in zip(got_list, ref_list):
+        assert a["begin_s"] == pytest.approx(b["begin_s"])
+        assert a["end_s"] == pytest.approx(b["end_s"])
+        assert a.get("track_id") == b.get("track_id")
+        assert len(a["model_results"]) == len(b["model_results"])
+        ma = a.get("master_tag", {}).get("prediction", {}).get("label")
+        mb = b.get("master_tag", {}).get("prediction", {}).get("label")
+        assert ma == mb
+        for ra, rb in zip(a["model_results"], b["model_results"]):
+            pa, pb = ra["predictions"], rb["predictions"]
+            assert [p["label"] for p in pa] == [p["label"] for p in pb]
+            assert [p["filtered"] for p in pa] == [p["filtered"] for p in pb]
+            for x, y in zip(pa, pb):
+                assert abs(x["confidence"] - y["confidence"]) <= 1
+
+
+def test_batch_analyse_tracks_matches_single(model_dir):
+    """analyse_tracks mode: tracks come from sidecar metadata, detection is
+    skipped, and results carry labels only (no chirps/cacophony block) —
+    exactly the single path's schema (pipeline/analysis.py:55-69)."""
+    recs = [_rec(0), _rec(1)]
+    metas = [
+        {
+            "Tracks": [
+                {"id": 11, "start": 1.5, "end": 4.0, "minFreq": 1000, "maxFreq": 6000},
+                {"id": 12, "start": 6.5, "end": 8.5},
+            ]
+        },
+        {"Tracks": [{"id": 21, "start": 0.5, "end": 3.5, "minFreq": 2000, "maxFreq": 4000}]},
+    ]
+    analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    got = analyzer.analyse_recordings(recs, meta_data=metas, analyse_tracks=True)
+    assert len(got) == 2
+    for rec, md, g in zip(recs, metas, got):
+        ref = _labels_only_oracle(rec, md, [str(model_dir)])
+        assert set(g.keys()) == set(ref.keys())  # no chirps/cacophony keys
+        assert g["non_bird_tags"] == ref["non_bird_tags"]
+        assert g["species_identify_version"] == ref["species_identify_version"]
+        _assert_tracks_equal(g["species_identify"], ref["species_identify"])
+        assert [t["track_id"] for t in g["species_identify"]] == [
+            t["id"] for t in md["Tracks"]
+        ]
+
+    # a recording with no metadata -> empty track list (the single path
+    # returns None; the batch path emits the same empty-labels result)
+    got2 = analyzer.analyse_recordings([recs[0]], meta_data=[None], analyse_tracks=True)
+    assert got2[0]["species_identify"] == []
+    assert "chirps" not in got2[0]
+
+
+def test_batch_location_filter_matches_single(tmp_path):
+    """Sidecar location metadata drives eBird filtering in batch serving
+    exactly like the single path (filter_by_location before master tags) —
+    previously batch results were silently unfiltered."""
+    from audio_analysis_tpu.pipeline.ebird import filter_by_location
+
+    d = tmp_path / "ebirdnet"
+    d.mkdir()
+    tf.keras.utils.set_random_seed(5)
+    inp = tf.keras.Input((64, 226, 1))
+    x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(len(LABELS), activation="softmax")(x)
+    tf.keras.Model(inp, out).save(str(d / "audioModel.keras"))
+    (d / "metadata.txt").write_text(
+        json.dumps(
+            {
+                "name": "ebirdnet",
+                "labels": LABELS,
+                # fake ids never observed anywhere -> any kept prediction
+                # with an id gets marked filtered and a generic bird re-added
+                "ebird_ids": [["zzz_fake_a"], ["zzz_fake_b"], None, None],
+                "segment_length": 3,
+                "segment_stride": 1.5,
+                "hop_length": 640,
+                "n_mels": 64,
+                "break_freq": 1750,
+                "htk": True,
+                "threshold": 0.05,
+                "normalize": True,
+            }
+        )
+    )
+    meta = {"location": {"lat": -36.85, "lng": 174.76}}  # Auckland
+
+    recs = [_rec(3), _rec(4)]
+    analyzer = BatchAnalyzer([str(d)], sr=SR, bucket_seconds=12, rng=None)
+    got = analyzer.analyse_recordings(recs, meta_data=[meta, meta])
+
+    saw_filtered = False
+    for rec, g in zip(recs, got):
+        tracks, *_ = classify_frames(rec, SR, [str(d)], False, None, rng=None)
+        filter_by_location(meta, tracks)
+        for t in tracks:
+            t.set_master_tag()
+        ref = [t.get_meta() for t in tracks]
+        _assert_tracks_equal(g["species_identify"], ref)
+        saw_filtered = saw_filtered or any(
+            p["filtered"]
+            for t in g["species_identify"]
+            for r in t["model_results"]
+            for p in r["predictions"]
+        )
+    assert saw_filtered  # the fixture genuinely exercises the filter
