@@ -678,3 +678,49 @@ def test_batch_location_filter_matches_single(tmp_path):
             for p in r["predictions"]
         )
     assert saw_filtered  # the fixture genuinely exercises the filter
+
+
+def test_batch_analyse_tracks_adversarial_geometry(model_dir):
+    """Metadata tracks with hostile geometry — out-of-band frequencies,
+    sub-window tracks, a zero-length box, an empty Tracks list, missing
+    freq bounds — behave identically to the single path."""
+    recs = [_rec(5), _rec(6, seconds=4), _rec(7)]
+    metas = [
+        {
+            "Tracks": [
+                # entirely above the model's band -> no windows planned
+                {"id": 1, "start": 0.5, "end": 2.5, "minFreq": 20000, "maxFreq": 23000},
+                # far shorter than one segment
+                {"id": 3, "start": 3.0, "end": 3.1, "minFreq": 500, "maxFreq": 4000},
+            ]
+        },
+        {"Tracks": []},
+        {
+            "Tracks": [
+                # zero-length box at time 0
+                {"id": 4, "start": 0.0, "end": 0.0},
+                {"id": 5, "start": 1.0, "end": 11.0, "minFreq": 100, "maxFreq": 11000},
+            ]
+        },
+    ]
+    analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    got = analyzer.analyse_recordings(recs, meta_data=metas, analyse_tracks=True)
+    for rec, md, g in zip(recs, metas, got):
+        ref = _labels_only_oracle(rec, md, [str(model_dir)])
+        _assert_tracks_equal(g["species_identify"], ref["species_identify"])
+
+
+def test_analyse_tracks_beyond_end_crashes_both_paths(model_dir):
+    """Quirk preserved: a metadata track extending FAR past the recording
+    end yields all-zero windows; normalize divides 0/0 -> NaN confidences,
+    and round(100*NaN) raises ValueError — exactly the reference's fate
+    (normalize_data src/identify_tracks.py:199-209 then Prediction :851
+    round on a numpy-NaN). Both our paths crash the same way; the watch
+    daemon's bisect then isolates and strikes just that file."""
+    rec = _rec(8)
+    md = {"Tracks": [{"id": 2, "start": 10.0, "end": 20.0}]}
+    with pytest.raises(ValueError):
+        classify_frames(rec, SR, [str(model_dir)], True, md, rng=None)
+    analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    with pytest.raises(ValueError):
+        analyzer.analyse_recordings([rec], meta_data=[md], analyse_tracks=True)
