@@ -105,9 +105,9 @@ def main():
             analyzer._prepare, analyzer._dispatch_prepared, analyzer._finish
         )
 
-        def prepare(recs, sr=None, _op=op):
+        def prepare(recs, sr=None, *a, _op=op, **kw):
             ev("dispatch0")
-            return _op(recs, sr)
+            return _op(recs, sr, *a, **kw)
 
         def dispatch_prepared(prep, _odp=odp):
             out = _odp(prep)
