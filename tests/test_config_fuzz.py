@@ -178,3 +178,42 @@ def test_config_fuzz_two_groups_batch_matches_single(tmp_path, seed):
     for rec, got in zip(recs, batch):
         tracks, *_ = classify_frames(rec, SR, dirs, False, None, rng=None)
         _assert_equal_results(got, tracks)
+
+
+def _random_track_meta(rng, seconds=8):
+    """Random sidecar "Tracks" metadata: 0-3 boxes, optional freq bounds
+    (absent bounds default to 0/MAX_FREQUENCY like the reference), geometry
+    kept inside the recording (a track far past the end hits the preserved
+    NaN-crash quirk, pinned separately in test_serve)."""
+    tracks = []
+    for j in range(rng.randint(0, 4)):
+        t0 = float(rng.uniform(0.0, seconds - 0.5))
+        t1 = min(float(seconds), t0 + float(rng.uniform(0.2, 4.0)))
+        tr = {"id": 100 + j, "start": round(t0, 2), "end": round(t1, 2)}
+        if rng.randint(2):
+            f0 = float(rng.uniform(100, 9000))
+            tr["minFreq"] = round(f0)
+            tr["maxFreq"] = round(f0 + float(rng.uniform(200, 8000)))
+        tracks.append(tr)
+    return {"Tracks": tracks}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(4))
+def test_config_fuzz_analyse_tracks_batch_matches_single(tmp_path, seed):
+    """analyse-tracks mode across the config knob space: random metadata
+    tracks (incl. out-of-band boxes and band-pass configs) through batch
+    serving vs the single path."""
+    rng = np.random.RandomState(3000 + seed)
+    meta = _random_meta(rng)
+    d = _model_dir_for(meta, tmp_path, seed)
+    recs = _recs(rng)
+    metas = [_random_track_meta(rng) for _ in recs]
+
+    analyzer = BatchAnalyzer([str(d)], sr=SR, bucket_seconds=8, rng=None)
+    batch = analyzer.analyse_recordings(recs, meta_data=metas, analyse_tracks=True)
+
+    for rec, md, got in zip(recs, metas, batch):
+        assert "chirps" not in got and "cacophony_index" not in got
+        res = classify_frames(rec, SR, [str(d)], True, md, rng=None)
+        _assert_equal_results(got, res[0])
