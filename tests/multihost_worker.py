@@ -36,6 +36,22 @@ def make_recording(global_idx: int) -> np.ndarray:
     return y
 
 
+def make_track_meta(global_idx: int) -> dict:
+    """Deterministic sidecar-track metadata keyed by global index (for the
+    --analyse-tracks leg); geometry stays inside the recording."""
+    rng = np.random.RandomState(5000 + global_idx)
+    tracks = []
+    for j in range(1 + global_idx % 3):
+        t0 = float(rng.uniform(0.0, SECONDS - 1.0))
+        t1 = min(float(SECONDS), t0 + float(rng.uniform(0.3, 3.0)))
+        tr = {"id": 10 * global_idx + j, "start": round(t0, 2), "end": round(t1, 2)}
+        if j % 2:
+            tr["minFreq"] = 500
+            tr["maxFreq"] = 6000
+        tracks.append(tr)
+    return {"Tracks": tracks}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True)
@@ -44,6 +60,7 @@ def main() -> int:
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--total-recordings", type=int, default=8)
+    ap.add_argument("--analyse-tracks", action="store_true")
     args = ap.parse_args()
 
     from audio_analysis_tpu.parallel import distributed as dist
@@ -66,7 +83,14 @@ def main() -> int:
     analyzer = BatchAnalyzer(
         [args.model], sr=SR, bucket_seconds=SECONDS, rng=None, mesh=mesh
     )
-    results = analyzer.analyse_recordings(local)
+    metas = (
+        [make_track_meta(pid * per_proc + i) for i in range(per_proc)]
+        if args.analyse_tracks
+        else None
+    )
+    results = analyzer.analyse_recordings(
+        local, meta_data=metas, analyse_tracks=args.analyse_tracks
+    )
     if args.num_processes > 1:
         results = results  # already the global list via allgather_results
     with open(args.out, "w") as f:

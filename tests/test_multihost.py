@@ -81,7 +81,7 @@ def _approx_equal(a, b, path=""):
         assert a == b, (path, a, b)
 
 
-def _run_single_and_two_proc(tmp_path, model, total, tag=""):
+def _run_single_and_two_proc(tmp_path, model, total, tag="", extra_args=()):
     single_out = tmp_path / f"single{tag}.json"
     r = subprocess.run(
         [
@@ -89,6 +89,7 @@ def _run_single_and_two_proc(tmp_path, model, total, tag=""):
             "--model", str(model),
             "--out", str(single_out),
             "--total-recordings", str(total),
+            *extra_args,
         ],
         env=_env(8), capture_output=True, text=True, timeout=900,
     )
@@ -110,6 +111,7 @@ def _run_single_and_two_proc(tmp_path, model, total, tag=""):
                     "--num-processes", "2",
                     "--coordinator", f"localhost:{port}",
                     "--total-recordings", str(total),
+                    *extra_args,
                 ],
                 env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True,
@@ -148,6 +150,23 @@ def test_two_process_serving_with_bandpass_matches_single(tmp_path):
     raising; results still match the single-process run."""
     model = _save_model(tmp_path / "fmodel", extra_meta={"filter_below": 20000})
     single, multis = _run_single_and_two_proc(tmp_path, model, 8, tag="f")
+    assert any(rec["species_identify"] for rec in single)
+    for got in multis:
+        _approx_equal(got, single)
+
+
+@pytest.mark.slow
+def test_two_process_analyse_tracks_matches_single(tmp_path):
+    """analyse-tracks mode under multi-host: tracks come from per-process
+    sidecar metadata, detection is skipped on every process together, and
+    the labels-only global results match the single-process run."""
+    model = _save_model(tmp_path / "tmodel")
+    single, multis = _run_single_and_two_proc(
+        tmp_path, model, 8, tag="t", extra_args=("--analyse-tracks",)
+    )
+    assert all(set(rec) == {
+        "non_bird_tags", "species_identify", "species_identify_version"
+    } for rec in single)
     assert any(rec["species_identify"] for rec in single)
     for got in multis:
         _approx_equal(got, single)
