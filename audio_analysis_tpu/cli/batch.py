@@ -260,6 +260,7 @@ def run(argv=None):
     if args.watch:
         watch(args, analyzer, t0)
         return []
+    args.files = _expand_dirs(args.files)
 
     def batches():
         for i in range(0, len(args.files), args.batch_size):
@@ -299,6 +300,25 @@ def run(argv=None):
     if args.meta_to_stdout:
         print(jsdump(all_results))
     return all_results
+
+
+def _expand_dirs(paths):
+    """Non-watch mode accepts directories too (the documented FILES_OR_DIR
+    contract): each expands to its audio files, sorted, non-recursive —
+    the same membership rule as the --watch spool scan."""
+    from pathlib import Path
+
+    out = []
+    for f in paths:
+        p = Path(f)
+        if p.is_dir():
+            out.extend(
+                str(q) for q in sorted(p.iterdir())
+                if q.suffix.lower() in AUDIO_EXTS
+            )
+        else:
+            out.append(f)
+    return out
 
 
 def _safe_sidecar(f):

@@ -264,3 +264,24 @@ def test_batch_cli_analyse_tracks(model_dir, tmp_path, capsys):
     assert ids == [7, 8]
     for tr in result["species_identify"]:
         assert tr["model_results"][0]["predictions"]
+
+
+def test_batch_cli_accepts_directory(model_dir, tmp_path, capsys):
+    """Non-watch batch mode expands directory arguments to their audio
+    files (the documented FILES_OR_DIR contract), skipping sidecars."""
+    rng = np.random.RandomState(4)
+    spool = tmp_path / "recs"
+    spool.mkdir()
+    for i in range(2):
+        y = (0.05 * rng.randn(6 * SR)).astype(np.float32)
+        write_wav(spool / f"d{i}.wav", y, SR)
+    (spool / "notes.txt").write_text("{}")
+
+    results = batch_run(
+        ["-o", "--bird-model", str(model_dir), "--seed", "0", str(spool)]
+    )
+    parsed = json.loads(capsys.readouterr().out)
+    assert len(parsed) == len(results) == 2
+    assert sorted(r["file"] for r in parsed) == [
+        str(spool / "d0.wav"), str(spool / "d1.wav")
+    ]
