@@ -285,3 +285,22 @@ def test_batch_cli_accepts_directory(model_dir, tmp_path, capsys):
     assert sorted(r["file"] for r in parsed) == [
         str(spool / "d0.wav"), str(spool / "d1.wav")
     ]
+
+
+def test_batch_cli_analyse_tracks_sync_upload(model_dir, tmp_path, monkeypatch, capsys):
+    """The sync-dispatch stream leg (AAT_ASYNC_UPLOAD=0) threads metadata
+    identically to the async default."""
+    monkeypatch.setenv("AAT_ASYNC_UPLOAD", "0")
+    rng = np.random.RandomState(6)
+    p = tmp_path / "s.wav"
+    write_wav(p, (0.05 * rng.randn(8 * SR)).astype(np.float32), SR)
+    (tmp_path / "s.txt").write_text(
+        json.dumps({"Tracks": [{"id": 3, "start": 1.0, "end": 4.0}]})
+    )
+    batch_run(
+        ["--analyse-tracks", "true", "--bird-model", str(model_dir),
+         "--seed", "0", str(p)]
+    )
+    result = json.loads((tmp_path / "s.txt").read_text())["analysis_result"]
+    assert [t["track_id"] for t in result["species_identify"]] == [3]
+    assert "chirps" not in result
