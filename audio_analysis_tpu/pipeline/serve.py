@@ -379,7 +379,13 @@ class BatchAnalyzer:
                 for b in range(B):
                     md = meta_data[b] if meta_data is not None else None
                     tracks = []
-                    if md is not None and "Tracks" in md:
+                    if md is not None:
+                        # md["Tracks"] unguarded on purpose: a sidecar
+                        # WITHOUT the key raises KeyError exactly like the
+                        # single path / reference (src/identify_tracks.py:
+                        # 425 meta_data["Tracks"]); only md=None degrades
+                        # to the empty track list (the single path's None
+                        # return)
                         for t in md["Tracks"]:
                             s = Signal(
                                 t["start"], t["end"],

@@ -724,3 +724,20 @@ def test_analyse_tracks_beyond_end_crashes_both_paths(model_dir):
     analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
     with pytest.raises(ValueError):
         analyzer.analyse_recordings([rec], meta_data=[md], analyse_tracks=True)
+
+
+def test_analyse_tracks_sidecar_without_tracks_key_raises_both_paths(model_dir):
+    """Quirk preserved: a sidecar that EXISTS but has no "Tracks" key raises
+    KeyError on both paths (reference src/identify_tracks.py:425 indexes
+    meta_data["Tracks"] unguarded); only meta_data=None degrades to the
+    labels-only empty result."""
+    rec = _rec(9)
+    md = {"foo": 1}
+    with pytest.raises(KeyError):
+        classify_frames(rec, SR, [str(model_dir)], True, md, rng=None)
+    analyzer = BatchAnalyzer([str(model_dir)], sr=SR, bucket_seconds=12, rng=None)
+    with pytest.raises(KeyError):
+        analyzer.analyse_recordings([rec], meta_data=[md], analyse_tracks=True)
+    # md=None: empty labels-only result, no crash (single path returns None)
+    got = analyzer.analyse_recordings([rec], meta_data=[None], analyse_tracks=True)
+    assert got[0]["species_identify"] == []
