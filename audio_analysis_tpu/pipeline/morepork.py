@@ -225,23 +225,16 @@ def identify_morepork(recording, models):
     return identify_morepork_frames(frames, sr, models)
 
 
-def identify_morepork_frames(frames, sr, models):
-    npspec = _spectrogram_program(jnp.asarray(frames, jnp.float32), sr=sr)
-    lows, lengths, start_times = _sample_grid(int(npspec.shape[1]))
-    samples = _samples_program(npspec, jnp.asarray(lows), jnp.asarray(lengths))
-
-    paths = model_paths(models) if isinstance(models, (str, os.PathLike)) else list(models)
-    activations_sum = np.zeros(samples.shape[0])
-    for path in paths:
-        model = _load_morepork_model(path)
-        activations = np.asarray(model(samples)).flatten()
-        activations_sum += activations
-
+def labels_from_activations(activations_sum, start_times, n_models):
+    """Group consecutive over-threshold samples into span labels
+    (reference label loop, src/identify_morepork.py:175-199): the threshold
+    tests the RAW summed activations while the span heuristics see the
+    ensemble-mean percentages rounded to ints (:177)."""
     labels = []
-    liklihoods = [round(v * 100 / len(paths)) for v in activations_sum]
+    liklihoods = [round(v * 100 / n_models) for v in activations_sum]
     first_index = -1
     last_index = -1
-    for i in range(samples.shape[0]):
+    for i in range(len(activations_sum)):
         if activations_sum[i] >= activation_threshold:
             if first_index < 0:
                 first_index = i
@@ -258,3 +251,18 @@ def identify_morepork_frames(frames, sr, models):
         )
         labels.append(build_entry(start_time, end_time, "morepork", liklihood))
     return labels
+
+
+def identify_morepork_frames(frames, sr, models):
+    npspec = _spectrogram_program(jnp.asarray(frames, jnp.float32), sr=sr)
+    lows, lengths, start_times = _sample_grid(int(npspec.shape[1]))
+    samples = _samples_program(npspec, jnp.asarray(lows), jnp.asarray(lengths))
+
+    paths = model_paths(models) if isinstance(models, (str, os.PathLike)) else list(models)
+    activations_sum = np.zeros(samples.shape[0])
+    for path in paths:
+        model = _load_morepork_model(path)
+        activations = np.asarray(model(samples)).flatten()
+        activations_sum += activations
+
+    return labels_from_activations(activations_sum, start_times, len(paths))

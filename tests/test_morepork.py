@@ -78,6 +78,86 @@ def test_find_likely_span_cases():
     assert lik == 90 and s == 1.0 and e == 6.0
 
 
+def _oracle_labels(activations_sum, start_times, n_models):
+    """Independent second transcription of the reference label loop + span
+    heuristics (src/identify_morepork.py:42-120, 175-199), written fresh from
+    the reference as a mutation oracle for pipeline.morepork."""
+    sps = 3.0  # seconds_per_sample
+    slide = 1.0  # sample_slide_seconds
+
+    def span(lik, st, first, last):
+        count = last - first
+        t0 = st[first]
+        t1 = st[last] + sps
+        if count == 0:
+            return lik[first], t0, t1
+        if count == 1:
+            return max(lik[first], lik[last]), t0 + slide, t0 + sps
+        if count == 2:
+            mx = max(lik[first : last + 1])
+            mn = min(lik[first : last + 1])
+            if mx == lik[first + 1]:
+                return mx, st[first + 1], st[first + 1] + sps
+            if mn == lik[first]:
+                return mx, st[first + 1], t1
+            if mn == lik[last]:
+                return mx, t0, st[first + 1] + sps
+            return mx, t0, t1
+        mx = max(lik[first : last + 1])
+        if mx > lik[first]:
+            if mx > lik[last]:
+                return mx, st[first + 1], st[last - 1] + sps
+            return mx, st[first + 1], t1
+        if mx > lik[last]:
+            return mx, t0, st[last - 1] + sps
+        return mx, t0, t1
+
+    lik = [round(v * 100 / n_models) for v in activations_sum]
+    out = []
+    first = -1
+    last = -1
+    for i, a in enumerate(activations_sum):
+        if a >= 1.0:
+            if first < 0:
+                first = i
+            last = i
+        elif first >= 0:
+            l, s, e = span(lik, start_times, first, last)
+            out.append((l, s, e))
+            first = -1
+    if first >= 0:
+        l, s, e = span(lik, start_times, first, last)
+        out.append((l, s, e))
+    return out
+
+
+def test_label_loop_fuzz_vs_oracle():
+    """Differential fuzz: random tie-heavy activation sums over real sample
+    grids (incl. short recordings with negative/irregular start times) vs the
+    independent oracle transcription above."""
+    rng = np.random.RandomState(0)
+    for seed in range(400):
+        r = np.random.RandomState(seed)
+        n_models = r.randint(1, 4)
+        # grid from a random recording length: 0.5-40 s worth of slices
+        n_slices = r.randint(10, 800)
+        _, _, start_times = mp._sample_grid(n_slices)
+        n = len(start_times)
+        # tie-heavy likelihoods: coarse quantised activations cluster around
+        # the threshold so ==/>/>= branches and rounding ties all fire
+        acts = r.choice([0.0, 0.4, 0.9, 0.99, 1.0, 1.01, 1.5, 2.0, 2.5], size=n)
+        acts = acts + r.choice([0.0, 0.005], size=n)  # rounding-tie jitter
+        got = mp.labels_from_activations(list(acts), start_times, n_models)
+        want = _oracle_labels(list(acts), start_times, n_models)
+        assert len(got) == len(want), (seed, got, want)
+        for g, (l, s, e) in zip(got, want):
+            assert g["begin_s"] == s and g["end_s"] == e, (seed, g, (l, s, e))
+            assert g["predictions"][0]["likelihood"] == [round(l * 0.01, 2)], (
+                seed, g, l,
+            )
+            assert g["freq_start"] == 600 and g["freq_end"] == 1200
+
+
 def test_morepork_e2e_with_fixture_model(tmp_path, rng):
     tf = pytest.importorskip("tensorflow")
     sr = 48000
@@ -87,17 +167,26 @@ def test_morepork_e2e_with_fixture_model(tmp_path, rng):
     m = (t >= 3.0) & (t < 4.0)
     y[m] += (0.5 * np.sin(2 * np.pi * 800 * t[m])).astype(np.float32)
 
-    # fixture model: fires when band energy is high
-    d = tmp_path / "mp"
-    d.mkdir()
-    inp = tf.keras.Input((60, 60, 1))
-    x = tf.keras.layers.GlobalAveragePooling2D()(inp)
-    out = tf.keras.layers.Dense(1, activation="sigmoid")(x)
-    model = tf.keras.Model(inp, out)
-    model.save(str(d / "audioModel.keras"))
-    (d / "metadata.txt").write_text(json.dumps({"name": "morepork"}))
+    # two-member ensemble biased positive: a single sigmoid can never reach
+    # the sum-threshold 1.0 (reference :182 thresholds the SUM), so one
+    # unbiased model would make this test vacuously pass on empty labels
+    dirs = []
+    for i in range(2):
+        d = tmp_path / f"mp{i}"
+        d.mkdir()
+        inp = tf.keras.Input((60, 60, 1))
+        x = tf.keras.layers.GlobalAveragePooling2D()(inp)
+        out = tf.keras.layers.Dense(
+            1,
+            activation="sigmoid",
+            bias_initializer=tf.keras.initializers.Constant(4.0),
+        )(x)
+        tf.keras.Model(inp, out).save(str(d / "audioModel.keras"))
+        (d / "metadata.txt").write_text(json.dumps({"name": "morepork"}))
+        dirs.append(str(d))
 
-    labels = mp.identify_morepork_frames(y, sr, [str(d)])
+    labels = mp.identify_morepork_frames(y, sr, dirs)
+    assert labels, "ensemble above threshold must produce at least one span"
     for entry in labels:
         assert entry["freq_start"] == 600 and entry["freq_end"] == 1200
         assert entry["predictions"][0]["species"] == ["morepork"]
