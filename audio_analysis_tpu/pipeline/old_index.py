@@ -73,6 +73,30 @@ def apply_correction_curve_202001C(raw_score):
     return max(100 * s / (s + 18), 0)
 
 
+def table_from_points(points, sample_rate=16000, half_window_size=1024):
+    """~20 s overlapping table entries over the points vector
+    (reference: src/cacophony_index.py:99-114): entry starts interpolate
+    linearly so the last entry ends exactly at the final point; begin/end
+    round with Python round (banker's on .5)."""
+    bin_20_width = 312  # ~20 seconds
+    table = []
+    entry_count = (len(points) + 31) // bin_20_width
+    for e in range(entry_count):
+        q = 0
+        if e:
+            q = e * (len(points) - bin_20_width) // (entry_count - 1)
+        raw_score = score_from_points(points[q : q + bin_20_width])
+        score = apply_correction_curve_202001C(raw_score)
+        table.append(
+            {
+                "begin_s": round(q * half_window_size / sample_rate),
+                "end_s": round((q + bin_20_width) * half_window_size / sample_rate),
+                "index_percent": round(score, 1),
+            }
+        )
+    return table
+
+
 def calculate_from_frames(source_data, sample_rate=16000):
     window_size = 2048
     half_window_size = window_size // 2
@@ -95,21 +119,7 @@ def calculate_from_frames(source_data, sample_rate=16000):
     else:
         points = []
 
-    bin_20_width = 312  # ~20 seconds
-    table = []
-    entry_count = (len(points) + 31) // bin_20_width
-    for e in range(entry_count):
-        q = 0
-        if e:
-            q = e * (len(points) - bin_20_width) // (entry_count - 1)
-        raw_score = score_from_points(points[q : q + bin_20_width])
-        score = apply_correction_curve_202001C(raw_score)
-        entry = {
-            "begin_s": round(q * half_window_size / sample_rate),
-            "end_s": round((q + bin_20_width) * half_window_size / sample_rate),
-            "index_percent": round(score, 1),
-        }
-        table.append(entry)
+    table = table_from_points(points, sample_rate, half_window_size)
 
     result = {
         "cacophony_index_old": table,

@@ -256,6 +256,78 @@ def test_old_index_matches_oracle(rng):
     assert abs(got - round(score, 1)) <= 0.2  # float32 DCT vs float64 oracle
 
 
+def _oracle_old_index_table(points):
+    """Independent second transcription of the reference table assembly
+    (src/cacophony_index.py:99-114), written fresh as a mutation oracle."""
+    import math
+
+    out = []
+    n_entries = (len(points) + 31) // 312
+    for e in range(n_entries):
+        q = e * (len(points) - 312) // (n_entries - 1) if e else 0
+        sl = sorted(points[q : q + 312])
+        raw = 10 * np.mean(sl[int(len(sl) * 0.75) : int(len(sl) * 0.95)])
+        s = raw - 10
+        score = max(100 * s / (s + 18), 0)
+        out.append(
+            {
+                "begin_s": round(q * 1024 / 16000),
+                "end_s": round((q + 312) * 1024 / 16000),
+                "index_percent": round(score, 1),
+            }
+        )
+    return out
+
+
+def test_old_index_table_fuzz_vs_oracle():
+    """Differential fuzz of the table assembly over the whole length space:
+    entry-count boundaries (281, 312, 313, 593, 624, ...), the q
+    interpolation, and begin/end rounding."""
+    from audio_analysis_tpu.pipeline.old_index import table_from_points
+
+    lengths = [0, 1, 280, 281, 312, 313, 592, 593, 624, 1000, 1871, 1872, 5000]
+    for seed in range(60):
+        r = np.random.RandomState(seed)
+        n = lengths[seed % len(lengths)] + int(r.randint(0, 37))
+        points = r.randint(0, 21, size=n).tolist()
+        assert table_from_points(points) == _oracle_old_index_table(points), (
+            seed,
+            n,
+        )
+
+
+def test_old_index_points_fuzz_vs_float64_oracle():
+    """Multi-seed device-points check: varied lengths and signal structures
+    vs the float64 numpy/scipy oracle. Points are integer band-change counts;
+    allow a tiny borderline-flip budget for f32-vs-f64 near-ties."""
+    from audio_analysis_tpu.pipeline.old_index import _points_program
+
+    total = flipped = 0
+    for seed in range(6):
+        r = np.random.RandomState(100 + seed)
+        secs = float(r.uniform(4.5, 30))
+        n = int(secs * 16000)
+        y = (0.1 * r.randn(n)).astype(np.float32)
+        t = np.arange(n) / 16000
+        f0 = float(r.uniform(150, 3000))
+        gate = np.sin(2 * np.pi * r.uniform(0.5, 4) * t) > r.uniform(-0.5, 0.8)
+        y += (0.4 * np.sin(2 * np.pi * f0 * t) * gate).astype(np.float32)
+        ref = np.asarray(_oracle_old_index_points(y.astype(np.float64)))
+        if len(ref) < 1:
+            got = []
+        else:
+            got = np.asarray(
+                _points_program(
+                    jnp.asarray(y), window_size=2048, half_window=1024, sample_rate=16000
+                )
+            )
+        assert len(got) == len(ref), seed
+        total += len(ref)
+        flipped += int(np.sum(np.asarray(got) != ref)) if len(ref) else 0
+    assert total > 1000
+    assert flipped <= max(2, total // 200), (flipped, total)
+
+
 def test_old_index_short_warning():
     res = calculate_from_frames(np.zeros(16000 * 5, np.float32), 16000)
     assert res["cacophony_index_old"] == []
