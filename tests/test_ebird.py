@@ -157,3 +157,164 @@ def test_filter_no_region_noop():
     filter_by_location({"location": {"lat": 48.8, "lng": 2.35}}, [t])
     # region is None (outside NZ) -> species list empty -> region_code None -> no-op
     assert not t.results[0].predictions[0].filtered
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: find_square / merge_neighbours vs fresh second
+# transcriptions of the reference (src/analyse.py:244-299)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_find_square(squares, lng, lat):
+    """Independent second transcription of reference find_square
+    (src/analyse.py:244-283), quirks included: the upward scan re-checks
+    only minLng (not maxLng), the downward pass starts at found-1, and
+    mid == len(squares) re-tests STALE bounds (`mid > len(squares)`)."""
+    high, low, found = len(squares), 0, None
+    while high >= low:
+        mid = (high + low) // 2
+        b = squares[mid]["bounds"]
+        if b[0] <= lng <= b[2]:
+            found = mid
+            break
+        if b[2] < lng:
+            low = mid + 1
+        else:
+            high = mid - 1
+    if found is None:
+        return None
+    dec = False
+    b = squares[mid]["bounds"]
+    while True:
+        if mid < 0:
+            return None
+        if mid < len(squares):
+            b = squares[mid]["bounds"]
+        if mid > len(squares) or b[0] > lng:
+            if dec:
+                return None
+            dec = True
+            mid = found - 1
+            continue
+        if b[1] <= lat <= b[3]:
+            return squares[mid]
+        mid = mid - 1 if dec else mid + 1
+
+
+def _oracle_merge(square, meta):
+    """Second transcription of reference merge_neighbours
+    (src/analyse.py:286-299), quirk included: a neighbour month absent from
+    the square's own dict for a SHARED species raises KeyError (:298 is an
+    unguarded `+=`); only wholly-new species get copied in."""
+    out = {s: dict(m) for s, m in square["species_per_month"].items()}
+    for n in square["neighbours_i"]:
+        for s, md in meta[n]["species_per_month"].items():
+            if s not in out:
+                out[s] = dict(md)
+            else:
+                for m, c in md.items():
+                    out[s][m] += c  # KeyError on month mismatch, like the ref
+    return out
+
+
+def _random_grid(r):
+    """lng-sorted squares with random widths (so lng ranges overlap or gap),
+    random lat bands, and small-int coords so boundary equality fires."""
+    n = int(r.randint(1, 30))
+    lng0 = r.randint(0, 8, size=n)
+    lng0.sort()
+    squares = []
+    for i in range(n):
+        w = int(r.randint(1, 4))
+        lat0 = int(r.randint(-6, 4))
+        h = int(r.randint(1, 4))
+        squares.append(
+            {
+                "bounds": [int(lng0[i]), lat0, int(lng0[i]) + w, lat0 + h],
+                "region_code": f"R{i}",
+                "species_per_month": {
+                    f"sp{int(k)}": {str(int(m)): int(r.randint(1, 9))
+                                    for m in r.choice(12, r.randint(1, 4), replace=False)}
+                    for k in r.choice(20, r.randint(0, 5), replace=False)
+                },
+                "neighbours_i": [int(x) for x in r.choice(n, r.randint(0, min(n, 4)), replace=False)],
+            }
+        )
+    return squares
+
+
+def _outcome(fn, *args):
+    """(value, exception-type) pair so the fuzz compares crash behaviour too —
+    both find_square (IndexError past the right edge) and merge_neighbours
+    (KeyError on month mismatch) crash by design, matching the reference."""
+    try:
+        return fn(*args), None
+    except (IndexError, KeyError) as e:
+        return None, type(e)
+
+
+def test_find_square_fuzz_vs_oracle():
+    import copy
+
+    crashes = hits = 0
+    for seed in range(300):
+        r = np.random.RandomState(seed)
+        squares = _random_grid(r)
+        for _ in range(20):
+            lng = float(r.randint(-1, 13)) + float(r.choice([0.0, 0.5]))
+            lat = float(r.randint(-8, 6)) + float(r.choice([0.0, 0.5]))
+            got, ge = _outcome(find_square, copy.deepcopy(squares), lng, lat)
+            want, we = _outcome(_oracle_find_square, copy.deepcopy(squares), lng, lat)
+            assert ge == we, (seed, lng, lat, ge, we)
+            crashes += ge is not None
+            if want is None:
+                assert got is None, (seed, lng, lat)
+            else:
+                hits += 1
+                assert got is not None and got["region_code"] == want["region_code"], (
+                    seed, lng, lat, got, want,
+                )
+    # the draw must actually exercise all three outcome classes
+    assert crashes > 50 and hits > 500, (crashes, hits)
+
+
+def test_merge_neighbours_fuzz_vs_oracle():
+    import copy
+
+    crashes = merges = 0
+    for seed in range(200):
+        r = np.random.RandomState(1000 + seed)
+        squares = _random_grid(r)
+        i = int(r.randint(len(squares)))
+        want, we = _outcome(_oracle_merge, copy.deepcopy(squares[i]), copy.deepcopy(squares))
+        got, ge = _outcome(merge_neighbours, copy.deepcopy(squares[i]), copy.deepcopy(squares))
+        assert ge == we, (seed, i, ge, we)
+        crashes += ge is not None
+        if ge is None:
+            merges += 1
+            assert got == want, (seed, i)
+    assert crashes > 20 and merges > 20, (crashes, merges)
+
+
+def test_find_square_beyond_right_edge_crashes_like_reference():
+    """Quirk pinned: lng east of every square's range drives the reference's
+    binary search to index squares[len(squares)] (src/analyse.py:245,251
+    starts high at len) — IndexError, not a None miss. West of every square
+    returns None via the high = mid - 1 path."""
+    squares = _squares()
+    with pytest.raises(IndexError):
+        find_square(squares, 200.0, -43.5)
+    assert find_square(squares, 100.0, -43.5) is None
+
+
+def test_merge_neighbours_month_mismatch_crashes_like_reference():
+    """Quirk pinned: a shared species whose neighbour has a month the square
+    lacks raises KeyError (reference src/analyse.py:298 unguarded +=)."""
+    squares = [
+        {"bounds": [0, 0, 1, 1], "region_code": "A",
+         "species_per_month": {"sp": {"1": 2}}, "neighbours_i": [1]},
+        {"bounds": [1, 0, 2, 1], "region_code": "B",
+         "species_per_month": {"sp": {"2": 3}}, "neighbours_i": []},
+    ]
+    with pytest.raises(KeyError):
+        merge_neighbours(squares[0], squares)
