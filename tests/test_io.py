@@ -1,6 +1,7 @@
 """I/O layer: native WAV codec round-trips, sidecar merge, model config."""
 
 import json
+import struct
 import numpy as np
 import pytest
 
@@ -171,3 +172,83 @@ def test_wav_parser_corruption_fuzz(tmp_path, rng):
     # both outcomes must occur: some mutations are harmless (flip inside
     # PCM data), the structural ones must raise
     assert n_ok > 0 and n_err > 0
+
+
+# ---------------------------------------------------------------------------
+# hand-built WAV bytes: every PCM depth + IEEE float + extensible GUID
+# (the wave module only writes plain PCM, so these paths were untested)
+# ---------------------------------------------------------------------------
+
+
+def _riff(fmt_tag, channels, sr, bits, payload, extensible=False):
+    if extensible:
+        # 40-byte fmt: cbSize=22, valid bits, channel mask, GUID with the
+        # real format tag in the first two bytes
+        ext = struct.pack("<HHI", bits, 22, 0) + struct.pack("<H", fmt_tag) + b"\x00" * 14
+        body = struct.pack("<HHIIHH", 0xFFFE, channels, sr,
+                           sr * channels * bits // 8, channels * bits // 8, bits) + ext
+    else:
+        body = struct.pack("<HHIIHH", fmt_tag, channels, sr,
+                           sr * channels * bits // 8, channels * bits // 8, bits)
+    chunks = b"fmt " + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) % 2 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+@pytest.mark.parametrize("depth", [8, 24, 32])
+def test_wav_pcm_depths_exact(tmp_path, rng, depth):
+    from audio_analysis_tpu.io.audio import load_audio_mono
+
+    n = 1001  # odd length: exercises the data-chunk pad byte
+    if depth == 8:
+        vals = rng.randint(0, 256, size=n).astype(np.uint8)
+        payload = vals.tobytes()
+        want = (vals.astype(np.float32) - 128.0) / 128.0
+    elif depth == 24:
+        vals = rng.randint(-(1 << 23), 1 << 23, size=n).astype(np.int32)
+        le32 = vals.astype("<i4").tobytes()
+        payload = b"".join(le32[i * 4 : i * 4 + 3] for i in range(n))
+        want = vals.astype(np.float32) / float(1 << 23)
+    else:
+        vals = rng.randint(-(1 << 31), 1 << 31, size=n, dtype=np.int64).astype(np.int32)
+        payload = vals.astype("<i4").tobytes()
+        want = vals.astype(np.float32) / float(1 << 31)
+    p = tmp_path / "t.wav"
+    p.write_bytes(_riff(1, 1, 48000, depth, payload))
+    got, sr = load_audio_mono(p)
+    assert sr == 48000
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wav_float64_and_extensible(tmp_path, rng):
+    from audio_analysis_tpu.io.audio import load_audio_mono
+
+    # IEEE float64 mono
+    vals = rng.randn(500).astype(np.float64) * 0.3
+    p = tmp_path / "f64.wav"
+    p.write_bytes(_riff(3, 1, 44100, 64, vals.astype("<f8").tobytes()))
+    got, sr = load_audio_mono(p)
+    assert sr == 44100
+    np.testing.assert_array_equal(got, vals.astype(np.float32))
+
+    # extensible-GUID stereo int16: GUID carries the real tag; stereo means
+    l = rng.randint(-32768, 32768, size=400).astype(np.int16)
+    r = rng.randint(-32768, 32768, size=400).astype(np.int16)
+    inter = np.empty(800, np.int16)
+    inter[0::2] = l
+    inter[1::2] = r
+    p2 = tmp_path / "ext.wav"
+    p2.write_bytes(_riff(1, 2, 16000, 16, inter.astype("<i2").tobytes(), extensible=True))
+    got2, sr2 = load_audio_mono(p2)
+    assert sr2 == 16000
+    want = (l.astype(np.float32) / 32768.0 + r.astype(np.float32) / 32768.0) / 2.0
+    np.testing.assert_allclose(got2, want, atol=1e-7)
+
+
+def test_wav_unknown_format_tag_raises(tmp_path):
+    from audio_analysis_tpu.io.audio import load_audio_mono
+
+    p = tmp_path / "alaw.wav"
+    p.write_bytes(_riff(6, 1, 8000, 8, b"\x00" * 64))  # 6 = a-law
+    with pytest.raises(ValueError, match="format tag"):
+        load_audio_mono(p)
