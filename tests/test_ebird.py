@@ -253,46 +253,62 @@ def _outcome(fn, *args):
         return None, type(e)
 
 
-def test_find_square_fuzz_vs_oracle():
+def fuzz_find_square_one_seed(seed):
+    """One seed = one random grid x 20 queries. Returns (crashes, hits) so
+    the test can assert outcome-class coverage in aggregate."""
     import copy
 
     crashes = hits = 0
+    r = np.random.RandomState(seed)
+    squares = _random_grid(r)
+    for _ in range(20):
+        lng = float(r.randint(-1, 13)) + float(r.choice([0.0, 0.5]))
+        lat = float(r.randint(-8, 6)) + float(r.choice([0.0, 0.5]))
+        got, ge = _outcome(find_square, copy.deepcopy(squares), lng, lat)
+        want, we = _outcome(_oracle_find_square, copy.deepcopy(squares), lng, lat)
+        assert ge == we, (seed, lng, lat, ge, we)
+        crashes += ge is not None
+        if want is None:
+            assert got is None, (seed, lng, lat)
+        else:
+            hits += 1
+            assert got is not None and got["region_code"] == want["region_code"], (
+                seed, lng, lat, got, want,
+            )
+    return crashes, hits
+
+
+def test_find_square_fuzz_vs_oracle():
+    crashes = hits = 0
     for seed in range(300):
-        r = np.random.RandomState(seed)
-        squares = _random_grid(r)
-        for _ in range(20):
-            lng = float(r.randint(-1, 13)) + float(r.choice([0.0, 0.5]))
-            lat = float(r.randint(-8, 6)) + float(r.choice([0.0, 0.5]))
-            got, ge = _outcome(find_square, copy.deepcopy(squares), lng, lat)
-            want, we = _outcome(_oracle_find_square, copy.deepcopy(squares), lng, lat)
-            assert ge == we, (seed, lng, lat, ge, we)
-            crashes += ge is not None
-            if want is None:
-                assert got is None, (seed, lng, lat)
-            else:
-                hits += 1
-                assert got is not None and got["region_code"] == want["region_code"], (
-                    seed, lng, lat, got, want,
-                )
+        c, h = fuzz_find_square_one_seed(seed)
+        crashes += c
+        hits += h
     # the draw must actually exercise all three outcome classes
     assert crashes > 50 and hits > 500, (crashes, hits)
 
 
-def test_merge_neighbours_fuzz_vs_oracle():
+def fuzz_merge_neighbours_one_seed(seed):
+    """One seed of the merge fuzz. Returns (crashed, merged) flags."""
     import copy
 
+    r = np.random.RandomState(1000 + seed)
+    squares = _random_grid(r)
+    i = int(r.randint(len(squares)))
+    want, we = _outcome(_oracle_merge, copy.deepcopy(squares[i]), copy.deepcopy(squares))
+    got, ge = _outcome(merge_neighbours, copy.deepcopy(squares[i]), copy.deepcopy(squares))
+    assert ge == we, (seed, i, ge, we)
+    if ge is None:
+        assert got == want, (seed, i)
+    return ge is not None, ge is None
+
+
+def test_merge_neighbours_fuzz_vs_oracle():
     crashes = merges = 0
     for seed in range(200):
-        r = np.random.RandomState(1000 + seed)
-        squares = _random_grid(r)
-        i = int(r.randint(len(squares)))
-        want, we = _outcome(_oracle_merge, copy.deepcopy(squares[i]), copy.deepcopy(squares))
-        got, ge = _outcome(merge_neighbours, copy.deepcopy(squares[i]), copy.deepcopy(squares))
-        assert ge == we, (seed, i, ge, we)
-        crashes += ge is not None
-        if ge is None:
-            merges += 1
-            assert got == want, (seed, i)
+        c, m = fuzz_merge_neighbours_one_seed(seed)
+        crashes += c
+        merges += m
     assert crashes > 20 and merges > 20, (crashes, merges)
 
 

@@ -189,24 +189,29 @@ def _random_track(r):
     return t
 
 
+def fuzz_master_tag_one_seed(seed):
+    """One seed of the arbitration fuzz. Returns the outcome class
+    (None / False / True) so the test can assert class coverage."""
+    r = np.random.RandomState(seed)
+    t = _random_track(r)
+    got = get_master_tag(t)
+    want = _oracle_master_tag(t)
+    if want is None:
+        assert got is None, seed
+        return None
+    assert got is not None, seed
+    # identity: the exact same Prediction object must be chosen
+    assert got[0] is want[0] and got[1] == want[1] and got[2] == want[2], (
+        seed,
+        (got[0].what, got[0].confidence, got[1], got[2]),
+        (want[0].what, want[0].confidence, want[1], want[2]),
+    )
+    return got[2]
+
+
 def test_master_tag_fuzz_vs_oracle():
     outcomes = {None: 0, False: 0, True: 0}
     for seed in range(3000):
-        r = np.random.RandomState(seed)
-        t = _random_track(r)
-        got = get_master_tag(t)
-        want = _oracle_master_tag(t)
-        if want is None:
-            assert got is None, seed
-            outcomes[None] += 1
-        else:
-            assert got is not None, seed
-            # identity: the exact same Prediction object must be chosen
-            assert got[0] is want[0] and got[1] == want[1] and got[2] == want[2], (
-                seed,
-                (got[0].what, got[0].confidence, got[1], got[2]),
-                (want[0].what, want[0].confidence, want[1], want[2]),
-            )
-            outcomes[got[2]] += 1
+        outcomes[fuzz_master_tag_one_seed(seed)] += 1
     # all three outcome classes (no tag / confident / below-thresh raw) fire
     assert min(outcomes.values()) > 50, outcomes

@@ -131,31 +131,34 @@ def _oracle_labels(activations_sum, start_times, n_models):
     return out
 
 
+def fuzz_label_loop_one_seed(seed):
+    """One seed of the label-loop differential fuzz: random tie-heavy
+    activation sums over a real sample grid (incl. short recordings with
+    negative/irregular start times) vs the oracle transcription above."""
+    r = np.random.RandomState(seed)
+    n_models = r.randint(1, 4)
+    # grid from a random recording length: 0.5-40 s worth of slices
+    n_slices = r.randint(10, 800)
+    _, _, start_times = mp._sample_grid(n_slices)
+    n = len(start_times)
+    # tie-heavy likelihoods: coarse quantised activations cluster around
+    # the threshold so ==/>/>= branches and rounding ties all fire
+    acts = r.choice([0.0, 0.4, 0.9, 0.99, 1.0, 1.01, 1.5, 2.0, 2.5], size=n)
+    acts = acts + r.choice([0.0, 0.005], size=n)  # rounding-tie jitter
+    got = mp.labels_from_activations(list(acts), start_times, n_models)
+    want = _oracle_labels(list(acts), start_times, n_models)
+    assert len(got) == len(want), (seed, got, want)
+    for g, (l, s, e) in zip(got, want):
+        assert g["begin_s"] == s and g["end_s"] == e, (seed, g, (l, s, e))
+        assert g["predictions"][0]["likelihood"] == [round(l * 0.01, 2)], (
+            seed, g, l,
+        )
+        assert g["freq_start"] == 600 and g["freq_end"] == 1200
+
+
 def test_label_loop_fuzz_vs_oracle():
-    """Differential fuzz: random tie-heavy activation sums over real sample
-    grids (incl. short recordings with negative/irregular start times) vs the
-    independent oracle transcription above."""
-    rng = np.random.RandomState(0)
     for seed in range(400):
-        r = np.random.RandomState(seed)
-        n_models = r.randint(1, 4)
-        # grid from a random recording length: 0.5-40 s worth of slices
-        n_slices = r.randint(10, 800)
-        _, _, start_times = mp._sample_grid(n_slices)
-        n = len(start_times)
-        # tie-heavy likelihoods: coarse quantised activations cluster around
-        # the threshold so ==/>/>= branches and rounding ties all fire
-        acts = r.choice([0.0, 0.4, 0.9, 0.99, 1.0, 1.01, 1.5, 2.0, 2.5], size=n)
-        acts = acts + r.choice([0.0, 0.005], size=n)  # rounding-tie jitter
-        got = mp.labels_from_activations(list(acts), start_times, n_models)
-        want = _oracle_labels(list(acts), start_times, n_models)
-        assert len(got) == len(want), (seed, got, want)
-        for g, (l, s, e) in zip(got, want):
-            assert g["begin_s"] == s and g["end_s"] == e, (seed, g, (l, s, e))
-            assert g["predictions"][0]["likelihood"] == [round(l * 0.01, 2)], (
-                seed, g, l,
-            )
-            assert g["freq_start"] == 600 and g["freq_end"] == 1200
+        fuzz_label_loop_one_seed(seed)
 
 
 def test_morepork_e2e_with_fixture_model(tmp_path, rng):

@@ -279,21 +279,22 @@ def _oracle_old_index_table(points):
     return out
 
 
-def test_old_index_table_fuzz_vs_oracle():
-    """Differential fuzz of the table assembly over the whole length space:
-    entry-count boundaries (281, 312, 313, 593, 624, ...), the q
-    interpolation, and begin/end rounding."""
+def fuzz_old_index_table_one_seed(seed):
+    """One seed of the table-assembly differential fuzz: entry-count
+    boundaries (281, 312, 313, 593, 624, ...), the q interpolation, and
+    begin/end rounding."""
     from audio_analysis_tpu.pipeline.old_index import table_from_points
 
     lengths = [0, 1, 280, 281, 312, 313, 592, 593, 624, 1000, 1871, 1872, 5000]
+    r = np.random.RandomState(seed)
+    n = lengths[seed % len(lengths)] + int(r.randint(0, 37))
+    points = r.randint(0, 21, size=n).tolist()
+    assert table_from_points(points) == _oracle_old_index_table(points), (seed, n)
+
+
+def test_old_index_table_fuzz_vs_oracle():
     for seed in range(60):
-        r = np.random.RandomState(seed)
-        n = lengths[seed % len(lengths)] + int(r.randint(0, 37))
-        points = r.randint(0, 21, size=n).tolist()
-        assert table_from_points(points) == _oracle_old_index_table(points), (
-            seed,
-            n,
-        )
+        fuzz_old_index_table_one_seed(seed)
 
 
 def test_old_index_points_fuzz_vs_float64_oracle():
