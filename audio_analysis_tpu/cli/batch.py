@@ -11,6 +11,7 @@ Usage:
 """
 
 import argparse
+import itertools
 import json
 import logging
 import sys
@@ -273,22 +274,21 @@ def run(argv=None):
             yield chunk, recs, metas
 
     all_results = []
-    names, meta_q = [], []
+    names = []
+    # recs and metas are split from ONE underlying iterator: pairing holds
+    # regardless of the order analyse_stream pulls the two generators in
+    # (tee buffers at most one batch while the pulls are in lockstep)
+    b_recs, b_metas = itertools.tee(batches())
 
     def rec_gen():
-        for chunk, recs, metas in batches():
+        for chunk, recs, _metas in b_recs:
             names.append(chunk)
-            meta_q.append(metas)
             yield recs
 
-    def meta_gen():
-        # analyse_stream pulls exactly one meta list per batch, AFTER
-        # pulling that batch from rec_gen — the queue entry is always there
-        while True:
-            yield meta_q.pop(0)
-
     stream = analyzer.analyse_stream(
-        rec_gen(), meta_batches=meta_gen(), analyse_tracks=args.analyse_tracks
+        rec_gen(),
+        meta_batches=(metas for _chunk, _recs, metas in b_metas),
+        analyse_tracks=args.analyse_tracks,
     )
     for batch_results in stream:
         for fname, result in zip(names.pop(0), batch_results):
@@ -314,7 +314,7 @@ def _expand_dirs(paths):
         if p.is_dir():
             out.extend(
                 str(q) for q in sorted(p.iterdir())
-                if q.suffix.lower() in AUDIO_EXTS
+                if q.is_file() and q.suffix.lower() in AUDIO_EXTS
             )
         else:
             out.append(f)

@@ -85,7 +85,11 @@ def _use_pallas_default() -> int:
                 sorted(_PALLAS_LEVELS),
             )
         explicit = False
-        v = PALLAS_EXACT2
+        # fall through to the SAME default resolution as the unset case:
+        # under AAT_FAST the default level is the bf16 throughput kernel,
+        # not the parity kernel (a typo'd AAT_PALLAS must not silently
+        # drop fast mode to parity speed)
+        v = PALLAS_FAST if fast_mode() else PALLAS_EXACT2
     else:
         b = env_flag("AAT_PALLAS")
         if b is not None:
