@@ -13,8 +13,12 @@ BatchNorm, Dense, poolings, activations, merges, shape ops, Rescaling,
 Normalization, Dropout, MagTransform v1/v2).
 """
 
+import base64
 import logging
+import marshal
+import os
 import re
+import types
 
 import numpy as np
 import jax
@@ -45,6 +49,12 @@ def _pair(v):
     return (int(v), int(v))
 
 
+def _one(v):
+    if isinstance(v, (list, tuple)):
+        return int(v[0])
+    return int(v)
+
+
 def _norm_pad2d(p):
     """Keras ZeroPadding2D/Cropping2D padding normalisation."""
     if isinstance(p, int):
@@ -53,6 +63,221 @@ def _norm_pad2d(p):
     if isinstance(a, int):
         return ((a, a), (b, b))
     return (tuple(a), tuple(b))
+
+
+# ---------------------------------------------------------------------------
+# TFOpLambda / Lambda support
+# ---------------------------------------------------------------------------
+
+def _reduce(op):
+    def fn(x, axis=None, keepdims=False, **kw):
+        if isinstance(axis, list):
+            axis = tuple(axis)
+        return op(x, axis=axis, keepdims=keepdims)
+
+    return fn
+
+
+# tf.* function paths as serialized by Keras-2 TFOpLambda configs
+# (tf_keras emits these for raw-TF-op calls inside functional models, e.g.
+# the hard-swish blocks of keras.applications MobileNetV3). Each entry maps
+# the dotted path in config["function"] to a jnp implementation with the
+# same call signature.
+_TF_OPS = {
+    "__operators__.add": lambda x, y: x + y,
+    "math.add": lambda x, y: x + y,
+    "math.subtract": lambda x, y: x - y,
+    "math.multiply": lambda x, y: x * y,
+    "math.truediv": lambda x, y: x / y,
+    "math.divide": lambda x, y: x / y,
+    "math.pow": jnp.power,
+    "math.abs": jnp.abs,
+    "math.exp": jnp.exp,
+    "math.log": jnp.log,
+    "math.sqrt": jnp.sqrt,
+    "math.rsqrt": jax.lax.rsqrt,
+    "math.square": jnp.square,
+    "math.sigmoid": jax.nn.sigmoid,
+    "math.tanh": jnp.tanh,
+    "math.maximum": jnp.maximum,
+    "math.minimum": jnp.minimum,
+    "math.reduce_mean": _reduce(jnp.mean),
+    "math.reduce_max": _reduce(jnp.max),
+    "math.reduce_min": _reduce(jnp.min),
+    "math.reduce_sum": _reduce(jnp.sum),
+    "nn.relu": jax.nn.relu,
+    "nn.relu6": lambda x: jnp.clip(x, 0, 6),
+    "nn.silu": lambda x, beta=1.0: x * jax.nn.sigmoid(beta * x),
+    "nn.swish": lambda x: jax.nn.silu(x),
+    "nn.gelu": lambda x, approximate=False: jax.nn.gelu(x, approximate=approximate),
+    "nn.elu": jax.nn.elu,
+    "nn.softmax": lambda x, axis=-1: jax.nn.softmax(x, axis=axis),
+    "nn.sigmoid": jax.nn.sigmoid,
+    "nn.tanh": jnp.tanh,
+    "clip_by_value": lambda t, clip_value_min, clip_value_max: jnp.clip(
+        t, clip_value_min, clip_value_max
+    ),
+    "reshape": lambda tensor, shape: jnp.reshape(tensor, [int(s) for s in shape]),
+    "transpose": lambda a, perm=None, conjugate=False: jnp.transpose(a, perm),
+    "concat": lambda values, axis: jnp.concatenate(values, axis=axis),
+    "expand_dims": lambda input, axis: jnp.expand_dims(input, axis),
+    "squeeze": lambda input, axis=None: jnp.squeeze(
+        input, tuple(axis) if isinstance(axis, list) else axis
+    ),
+    "stack": lambda values, axis=0: jnp.stack(values, axis=axis),
+    "split": lambda value, num_or_size_splits, axis=0: (
+        jnp.split(value, num_or_size_splits, axis=axis)
+        if isinstance(num_or_size_splits, int)
+        else jnp.split(
+            value, list(np.cumsum(num_or_size_splits)[:-1]), axis=axis
+        )
+    ),
+    "identity": lambda input: input,
+    "stop_gradient": jax.lax.stop_gradient,
+    "cast": lambda x, dtype: x.astype(jnp.dtype(dtype)),
+    "compat.v1.squeeze": lambda input, axis=None, squeeze_dims=None: jnp.squeeze(
+        input,
+        tuple(a) if isinstance((a := axis if axis is not None else squeeze_dims), list) else a,
+    ),
+}
+
+
+# Keras-3 op-layers: raw keras.ops/operator use on KerasTensors serializes
+# as layers from module "keras.src.ops.*" whose constructor args (axis,
+# keepdims, x_min, ...) live in the layer CONFIG (the node only carries the
+# tensors). Class names here may shadow keras.layers merge classes (Add,
+# Multiply, Concatenate) — dispatch keys on the module prefix first.
+_K3_OPS = {
+    "Add": lambda x, y: x + y,
+    "Subtract": lambda x, y: x - y,
+    "Multiply": lambda x, y: x * y,
+    "TrueDivide": lambda x, y: x / y,
+    "Divide": lambda x, y: x / y,
+    "FloorDivide": lambda x, y: jnp.floor_divide(x, y),
+    "Power": jnp.power,
+    "Absolute": jnp.abs,
+    "Abs": jnp.abs,
+    "Negative": jnp.negative,
+    "Exp": jnp.exp,
+    "Log": jnp.log,
+    "Sqrt": jnp.sqrt,
+    "Square": jnp.square,
+    "Tanh": jnp.tanh,
+    "Maximum": jnp.maximum,
+    "Minimum": jnp.minimum,
+    "Mean": _reduce(jnp.mean),
+    "Max": _reduce(jnp.max),
+    "Min": _reduce(jnp.min),
+    "Sum": _reduce(jnp.sum),
+    "Reshape": lambda x, newshape: jnp.reshape(x, tuple(int(s) for s in newshape)),
+    "Transpose": lambda x, axes=None: jnp.transpose(x, axes),
+    "ExpandDims": lambda x, axis: jnp.expand_dims(x, axis),
+    "Squeeze": lambda x, axis=None: jnp.squeeze(
+        x, tuple(axis) if isinstance(axis, list) else axis
+    ),
+    "Clip": lambda x, x_min, x_max: jnp.clip(x, x_min, x_max),
+    "GetItem": lambda x, key: x[tuple(key) if isinstance(key, list) else key],
+    "Stack": lambda xs, axis=0: jnp.stack(xs, axis=axis),
+    "Concatenate": lambda xs, axis=0: jnp.concatenate(xs, axis=axis),
+    "Relu": jax.nn.relu,
+    "Relu6": lambda x: jnp.clip(x, 0, 6),
+    "Silu": jax.nn.silu,
+    "Gelu": lambda x, approximate=True: jax.nn.gelu(x, approximate=approximate),
+    "Sigmoid": jax.nn.sigmoid,
+    "Softmax": lambda x, axis=-1: jax.nn.softmax(x, axis=axis),
+    "LogSoftmax": lambda x, axis=-1: jax.nn.log_softmax(x, axis=axis),
+    "Elu": lambda x, alpha=1.0: jax.nn.elu(x, alpha),
+    "Selu": jax.nn.selu,
+    "Softplus": jax.nn.softplus,
+    "Softsign": jax.nn.soft_sign,
+    "HardSigmoid": jax.nn.hard_sigmoid,
+    "HardSilu": lambda x: x * jax.nn.hard_sigmoid(x),
+    "LeakyRelu": lambda x, negative_slope=0.2: jax.nn.leaky_relu(x, negative_slope),
+    "Rsqrt": jax.lax.rsqrt,
+    "Erf": jax.lax.erf,
+}
+
+
+def _tf_op(fname, name):
+    fn = _TF_OPS.get(fname)
+    if fn is None:
+        raise ValueError(
+            f"unsupported TFOpLambda function {fname!r} ({name}); supported: "
+            + ", ".join(sorted(_TF_OPS))
+        )
+    return fn
+
+
+def _getitem_slice_spec(x, slice_spec):
+    """SlicingOpLambda (`tensor[...]` in a Keras-2 functional model):
+    slice_spec is a list of {"start","stop","step"} dicts and/or bare ints."""
+    idx = []
+    for s in slice_spec:
+        if isinstance(s, dict):
+            idx.append(slice(s.get("start"), s.get("stop"), s.get("step")))
+        elif s is None:
+            idx.append(jnp.newaxis)
+        elif s is Ellipsis or s == "ellipsis":
+            idx.append(Ellipsis)
+        else:
+            idx.append(int(s))
+    return x[tuple(idx)]
+
+
+def _load_lambda(cfg, layer_name):
+    """Deserialize a Keras-3 Lambda layer's function.
+
+    Keras serializes the lambda as marshalled CPython bytecode
+    (``{"class_name": "__lambda__", "config": {"code": ...}}``) and refuses
+    to load it unless ``safe_mode=False`` — running it IS arbitrary code
+    execution. We mirror that contract: set ``AAT_UNSAFE_LAMBDA=1`` to allow
+    it. The function body runs on JAX tracers, so only operator/`jnp`-style
+    lambdas execute correctly; `np`/`numpy` globals are aliased to jnp."""
+    fn_spec = cfg.get("function")
+    if isinstance(fn_spec, str):
+        # registered/builtin function saved by name, e.g. "abs"
+        from audio_analysis_tpu.models import layers as _L
+
+        try:
+            return _L.activation(fn_spec)
+        except ValueError:
+            raise ValueError(
+                f"Lambda layer {layer_name}: unknown named function {fn_spec!r}"
+            )
+    if not (isinstance(fn_spec, dict) and fn_spec.get("class_name") == "__lambda__"):
+        raise ValueError(f"Lambda layer {layer_name}: unsupported function spec")
+    if os.environ.get("AAT_UNSAFE_LAMBDA", "0") != "1":
+        raise ValueError(
+            f"Lambda layer {layer_name} contains marshalled Python bytecode; "
+            "executing it is arbitrary code execution (Keras requires "
+            "safe_mode=False for the same reason). Set AAT_UNSAFE_LAMBDA=1 "
+            "to allow it."
+        )
+    spec = fn_spec["config"]
+    code = spec["code"]
+    raw = base64.decodebytes(code.encode("ascii") if isinstance(code, str) else code)
+    code_obj = marshal.loads(raw)
+    defaults = spec.get("defaults")
+    closure = spec.get("closure")
+    if closure is not None:
+        def _cell(v):
+            return (lambda: v).__closure__[0]
+
+        closure = tuple(_cell(v) for v in closure)
+    glb = {
+        "np": jnp,
+        "numpy": jnp,
+        "jnp": jnp,
+        "jax": jax,
+        "__builtins__": __builtins__,
+    }
+    return types.FunctionType(
+        code_obj,
+        glb,
+        name=code_obj.co_name,
+        argdefs=tuple(defaults) if defaults else None,
+        closure=closure,
+    )
 
 
 class KerasModel:
@@ -197,7 +422,8 @@ class KerasModel:
                     continue
                 for node_idx, node in enumerate(layer.get("inbound_nodes", [])):
                     args = _resolve_args(node, values)
-                    out = self._run_layer(layer, args, params)
+                    kwargs = _resolve_kwargs(node, values)
+                    out = self._run_layer(layer, args, params, kwargs)
                     if isinstance(out, (list, tuple)):
                         for ti, o in enumerate(out):
                             values[(layer["name"], node_idx, ti)] = o
@@ -235,12 +461,24 @@ class KerasModel:
             a.astype(cdt) if jnp.issubdtype(a.dtype, jnp.floating) else a for a in v
         ]
 
-    def _run_layer(self, layer, args, params):
+    def _run_layer(self, layer, args, params, kwargs=None):
         cls = layer["class_name"]
         cfg = layer["config"]
         name = _layer_name(layer)
         v = self._vars_compute(params, name)
-        x = args[0]
+        x = args[0] if args else None
+        kwargs = {
+            k: w
+            for k, w in (kwargs or {}).items()
+            if k not in ("name", "training", "mask") and w is not None
+        }
+        mod = layer.get("module") or ""
+        if (
+            mod.startswith("keras.src.ops") or mod.startswith("keras.ops")
+        ) and cls in _K3_OPS:
+            opkw = {k: w for k, w in cfg.items() if k != "name" and w is not None}
+            opkw.update(kwargs)
+            return _K3_OPS[cls](*args, **opkw)
 
         if cls in ("Dropout", "SpatialDropout2D", "GaussianNoise", "GaussianDropout", "Identity", "ActivityRegularization"):
             ctx = getattr(self, "_train_ctx", None)
@@ -311,6 +549,71 @@ class KerasModel:
                 dilation=_pair(cfg.get("dilation_rate", 1)),
             )
             return act(L.conv2d(y, v[1], bias, strides=(1, 1), padding="VALID"))
+        if cls == "Conv1D":
+            act = L.activation(cfg.get("activation"))
+            bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
+            return act(
+                L.conv1d(
+                    x,
+                    v[0],
+                    bias,
+                    strides=_one(cfg.get("strides", 1)),
+                    padding=cfg.get("padding", "valid"),
+                    dilation=_one(cfg.get("dilation_rate", 1)),
+                    groups=int(cfg.get("groups", 1)),
+                )
+            )
+        if cls == "DepthwiseConv1D":
+            act = L.activation(cfg.get("activation"))
+            bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
+            return act(
+                L.depthwise_conv1d(
+                    x,
+                    v[0],
+                    bias,
+                    strides=_one(cfg.get("strides", 1)),
+                    padding=cfg.get("padding", "valid"),
+                    dilation=_one(cfg.get("dilation_rate", 1)),
+                )
+            )
+        if cls == "SeparableConv1D":
+            act = L.activation(cfg.get("activation"))
+            bias = v[2] if cfg.get("use_bias", True) and len(v) > 2 else None
+            y = L.depthwise_conv1d(
+                x,
+                v[0],
+                None,
+                strides=_one(cfg.get("strides", 1)),
+                padding=cfg.get("padding", "valid"),
+                dilation=_one(cfg.get("dilation_rate", 1)),
+            )
+            return act(L.conv1d(y, v[1], bias, strides=1, padding="VALID"))
+        if cls == "Conv2DTranspose":
+            act = L.activation(cfg.get("activation"))
+            bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
+            return act(
+                L.conv2d_transpose(
+                    x,
+                    v[0],
+                    bias,
+                    strides=_pair(cfg.get("strides", 1)),
+                    padding=cfg.get("padding", "valid"),
+                    dilation=_pair(cfg.get("dilation_rate", 1)),
+                )
+            )
+        if cls == "Conv1DTranspose":
+            act = L.activation(cfg.get("activation"))
+            bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
+            return act(
+                L.conv1d_transpose(
+                    x,
+                    v[0],
+                    bias,
+                    strides=_one(cfg.get("strides", 1)),
+                    padding=cfg.get("padding", "valid"),
+                    dilation=_one(cfg.get("dilation_rate", 1)),
+                )
+            )
         if cls == "Dense":
             act = L.activation(cfg.get("activation"))
             bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
@@ -378,6 +681,13 @@ class KerasModel:
             return y
         if cls == "LeakyReLU":
             return jax.nn.leaky_relu(x, cfg.get("negative_slope", cfg.get("alpha", 0.3)))
+        if cls == "ELU":
+            return jax.nn.elu(x, cfg.get("alpha", 1.0))
+        if cls == "PReLU":
+            # weights: [alpha] shaped like input[1:] with shared_axes at 1 —
+            # broadcasts against x directly (keras/src/layers/activations/prelu.py)
+            alpha = v[0]
+            return jax.nn.relu(x) - alpha * jax.nn.relu(-x)
         if cls == "Softmax":
             return jax.nn.softmax(x, axis=cfg.get("axis", -1))
         if cls == "MaxPooling2D":
@@ -392,6 +702,56 @@ class KerasModel:
             return jnp.mean(x, axis=1, keepdims=cfg.get("keepdims", False))
         if cls == "GlobalMaxPooling1D":
             return jnp.max(x, axis=1, keepdims=cfg.get("keepdims", False))
+        if cls == "MaxPooling1D":
+            return L.max_pool1d(x, _one(cfg.get("pool_size", 2)), _one(cfg.get("strides") or cfg.get("pool_size", 2)), cfg.get("padding", "valid"))
+        if cls == "AveragePooling1D":
+            return L.avg_pool1d(x, _one(cfg.get("pool_size", 2)), _one(cfg.get("strides") or cfg.get("pool_size", 2)), cfg.get("padding", "valid"))
+        if cls == "ZeroPadding1D":
+            p = cfg.get("padding", 1)
+            pl, pr = (p, p) if isinstance(p, int) else (int(p[0]), int(p[1]))
+            return jnp.pad(x, ((0, 0), (pl, pr), (0, 0)))
+        if cls == "Cropping1D":
+            c = cfg.get("cropping", (1, 1))
+            cl, cr = (c, c) if isinstance(c, int) else (int(c[0]), int(c[1]))
+            return x[:, cl : x.shape[1] - cr or None, :]
+        if cls == "UpSampling1D":
+            return jnp.repeat(x, int(cfg.get("size", 2)), axis=1)
+        if cls == "LayerNormalization":
+            axes = cfg.get("axis", -1)
+            axes = tuple(axes) if isinstance(axes, (list, tuple)) else (axes,)
+            axes = tuple(a % x.ndim for a in axes)
+            eps = cfg.get("epsilon", 1e-3)
+            vf = self._vars(params, name)  # float32 statistics path
+            i = 0
+            gamma = vf[i] if cfg.get("scale", True) and len(vf) > i else None
+            i += 1 if cfg.get("scale", True) else 0
+            beta = vf[i] if cfg.get("center", True) and len(vf) > i else None
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axes, keepdims=True)
+            shape = [1] * x.ndim
+            for a in axes:
+                shape[a] = x.shape[a]
+            if cfg.get("rms_scaling", False):
+                # deprecated Keras option: no centering, scale by rms
+                y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axes, keepdims=True) + eps)
+                if gamma is not None:
+                    y = y * gamma.reshape(shape)
+                return y.astype(x.dtype)
+            y = (xf - mean) * jax.lax.rsqrt(var + eps)
+            if gamma is not None:
+                y = y * gamma.reshape(shape)
+            if beta is not None:
+                y = y + beta.reshape(shape)
+            return y.astype(x.dtype)
+        if cls == "UnitNormalization":
+            axes = cfg.get("axis", -1)
+            axes = tuple(axes) if isinstance(axes, (list, tuple)) else (axes,)
+            nrm = jnp.sqrt(jnp.sum(jnp.square(x), axes, keepdims=True))
+            return x / jnp.maximum(nrm, 1e-12)
+        if cls == "Embedding":
+            table = v[0]
+            return table[x.astype(jnp.int32)]
         if cls == "Flatten":
             return x.reshape(x.shape[0], -1)
         if cls == "Reshape":
@@ -457,9 +817,28 @@ class KerasModel:
             for o in a[1:]:
                 y = jnp.maximum(y, o)
             return y
+        if cls == "Minimum":
+            a = args[0] if isinstance(args[0], list) else args
+            y = a[0]
+            for o in a[1:]:
+                y = jnp.minimum(y, o)
+            return y
         if cls == "Concatenate":
             a = args[0] if isinstance(args[0], list) else args
             return jnp.concatenate(a, axis=cfg.get("axis", -1))
+        if cls == "Lambda":
+            fn = _load_lambda(cfg, name)
+            extra = dict(cfg.get("arguments") or {})
+            extra.update(kwargs)
+            return fn(*args, **extra)
+        if cls == "TFOpLambda":
+            fn = _tf_op(cfg.get("function"), name)
+            return fn(*args, **kwargs)
+        if cls == "SlicingOpLambda":
+            spec = kwargs.get("slice_spec")
+            if cfg.get("function") != "__operators__.getitem" or spec is None:
+                raise ValueError(f"unsupported SlicingOpLambda {name}")
+            return _getitem_slice_spec(x, spec)
         if cls in ("Functional", "Sequential"):
             sub = KerasModel(
                 layer,
@@ -487,6 +866,10 @@ def _normalize_node(node):
     ``[layer_name, node_index, tensor_index, call_kwargs]`` entries."""
     if isinstance(node, dict):
         return node
+    if node and isinstance(node[0], str):
+        # tf_keras writes TFOpLambda/SlicingOpLambda nodes FLAT:
+        # ["layer", n, t, {kwargs}] rather than a list of such entries
+        node = [node]
     refs = [
         {
             "class_name": "__keras_tensor__",
@@ -496,11 +879,35 @@ def _normalize_node(node):
     ]
     kwargs = {}
     if node and len(node[0]) > 3 and isinstance(node[0][3], dict):
-        kwargs = node[0][3]
+        kwargs = _legacy_kwarg_refs(node[0][3])
     # multi-input layers (Add/Concatenate/...) take one list argument in
     # Keras 3 call signatures; single-input layers take the bare tensor
     args = refs if len(refs) == 1 else [refs]
     return {"args": args, "kwargs": kwargs}
+
+
+def _legacy_kwarg_refs(obj):
+    """Keras-2 node kwargs embed tensor references as bare
+    ``[layer_name, node_idx, tensor_idx]`` lists (e.g. the ``y`` operand of
+    a TFOpLambda ``__operators__.add``) — rewrite them to the Keras-3
+    ``__keras_tensor__`` dict form so _collect_history/_resolve see them."""
+    if (
+        isinstance(obj, list)
+        and len(obj) in (3, 4)
+        and isinstance(obj[0], str)
+        and isinstance(obj[1], int)
+        and isinstance(obj[2], int)
+        and (len(obj) == 3 or isinstance(obj[3], dict))
+    ):
+        return {
+            "class_name": "__keras_tensor__",
+            "config": {"keras_history": [obj[0], obj[1], obj[2]]},
+        }
+    if isinstance(obj, dict):
+        return {k: _legacy_kwarg_refs(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_legacy_kwarg_refs(v) for v in obj]
+    return obj
 
 
 def _collect_history(node):
@@ -524,19 +931,29 @@ def _collect_history(node):
     return refs
 
 
+def _resolve_refs(obj, values):
+    if isinstance(obj, dict):
+        if obj.get("class_name") == "__keras_tensor__":
+            h = obj["config"]["keras_history"]
+            return values[(h[0], h[1], h[2])]
+        if obj.get("class_name") == "__slice__":
+            c = obj.get("config", {})
+            return slice(c.get("start"), c.get("stop"), c.get("step"))
+        if obj.get("class_name") == "__ellipsis__":
+            return Ellipsis
+        return {k: _resolve_refs(vv, values) for k, vv in obj.items()}
+    if isinstance(obj, list):
+        return [_resolve_refs(vv, values) for vv in obj]
+    if isinstance(obj, tuple):
+        return tuple(_resolve_refs(vv, values) for vv in obj)
+    return obj
+
+
 def _resolve_args(node, values):
     node = _normalize_node(node)
+    return [_resolve_refs(a, values) for a in node.get("args", [])]
 
-    def rec(obj):
-        if isinstance(obj, dict):
-            if obj.get("class_name") == "__keras_tensor__":
-                h = obj["config"]["keras_history"]
-                return values[(h[0], h[1], h[2])]
-            return {k: rec(vv) for k, vv in obj.items()}
-        if isinstance(obj, list):
-            return [rec(vv) for vv in obj]
-        if isinstance(obj, tuple):
-            return tuple(rec(vv) for vv in obj)
-        return obj
 
-    return [rec(a) for a in node.get("args", [])]
+def _resolve_kwargs(node, values):
+    node = _normalize_node(node)
+    return {k: _resolve_refs(v, values) for k, v in node.get("kwargs", {}).items()}

@@ -83,6 +83,86 @@ def depthwise_conv2d(x, kernel, bias=None, strides=(1, 1), padding="SAME", dilat
     return y
 
 
+_DN1 = ("NWC", "WIO", "NWC")
+
+
+def conv1d(x, kernel, bias=None, strides=1, padding="SAME", dilation=1, groups=1):
+    """Keras Conv1D: x NWC, kernel WIO. ``padding='causal'`` left-pads by
+    dilation*(k-1) (TF semantics) then runs VALID."""
+    if isinstance(padding, str) and padding.lower() == "causal":
+        pad = int(dilation) * (kernel.shape[0] - 1)
+        x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+        padding = "VALID"
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(int(strides),),
+        padding=padding.upper() if isinstance(padding, str) else padding,
+        rhs_dilation=(int(dilation),),
+        feature_group_count=groups,
+        dimension_numbers=_DN1,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def depthwise_conv1d(x, kernel, bias=None, strides=1, padding="SAME", dilation=1):
+    """Keras DepthwiseConv1D: kernel (w, C, mult) -> grouped conv."""
+    w, c, mult = kernel.shape
+    k = kernel.reshape(w, 1, c * mult)
+    y = jax.lax.conv_general_dilated(
+        x,
+        k,
+        window_strides=(int(strides),),
+        padding=padding.upper() if isinstance(padding, str) else padding,
+        rhs_dilation=(int(dilation),),
+        feature_group_count=c,
+        dimension_numbers=_DN1,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def conv2d_transpose(x, kernel, bias=None, strides=(2, 2), padding="SAME", dilation=(1, 1)):
+    """Keras Conv2DTranspose: TF kernel layout (h, w, out_ch, in_ch).
+
+    lax.conv_transpose with transpose_kernel=True expects the FORWARD-conv
+    kernel (HWIO with I=this op's output channels) and flips spatial dims +
+    swaps I/O itself — exactly the TF gradient-of-conv semantics Keras uses,
+    so TF's (h, w, O, I) maps to HWIO=(h, w, O, I) read as (h, w, "I", "O").
+    """
+    y = jax.lax.conv_transpose(
+        x,
+        kernel,
+        strides=tuple(strides),
+        padding=padding.upper() if isinstance(padding, str) else padding,
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=_DN,
+        transpose_kernel=True,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def conv1d_transpose(x, kernel, bias=None, strides=2, padding="SAME", dilation=1):
+    """Keras Conv1DTranspose: TF kernel layout (w, out_ch, in_ch)."""
+    y = jax.lax.conv_transpose(
+        x,
+        kernel,
+        strides=(int(strides),),
+        padding=padding.upper() if isinstance(padding, str) else padding,
+        rhs_dilation=(int(dilation),),
+        dimension_numbers=_DN1,
+        transpose_kernel=True,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def dense(x, kernel, bias=None):
     y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
     if bias is not None:
@@ -128,6 +208,29 @@ def avg_pool2d(x, pool_size=(2, 2), strides=None, padding="VALID"):
     s = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides4, padding.upper())
     ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
     counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, window, strides4, padding.upper())
+    return s / counts
+
+
+def max_pool1d(x, pool_size=2, strides=None, padding="VALID"):
+    strides = int(strides or pool_size)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, int(pool_size), 1),
+        (1, strides, 1),
+        padding.upper(),
+    )
+
+
+def avg_pool1d(x, pool_size=2, strides=None, padding="VALID"):
+    """TF semantics: SAME padding excludes padded cells from the mean."""
+    strides = int(strides or pool_size)
+    window = (1, int(pool_size), 1)
+    strides3 = (1, strides, 1)
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides3, padding.upper())
+    ones = jnp.ones(x.shape[1:2], x.dtype)[None, :, None]
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, window, strides3, padding.upper())
     return s / counts
 
 
