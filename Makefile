@@ -17,7 +17,7 @@ native:
 	    audio_analysis_tpu/native/ccl.cpp -o audio_analysis_tpu/native/_ccl.so
 
 lint:
-	python -m black --check audio_analysis_tpu tests || true
+	python -m black --check audio_analysis_tpu tests tools bench.py
 
 clean:
 	rm -f audio_analysis_tpu/native/_ccl.so

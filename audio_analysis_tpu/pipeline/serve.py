@@ -236,6 +236,65 @@ class BatchAnalyzer:
     def _multihost(self):
         return self.mesh is not None and jax.process_count() > 1
 
+    # -- embeddings model groups ----------------------------------------------
+
+    @staticmethod
+    def _is_embeddings(group):
+        """Group-level decision keyed on the FIRST model's name, exactly like
+        the single path (pipeline/classify.py:473; reference
+        src/identify_tracks.py:498-499 — model_name is the group's first
+        config)."""
+        return group[0][1].name == "embeddings"
+
+    def _embedder_for(self, cfg):
+        """Load (and cache) the group's embedder — the load can pull a local
+        .keras/SavedModel artifact or the TF-Hub fallback, so do it once per
+        analyzer, keyed on the configured artifact path."""
+        from audio_analysis_tpu.pipeline.embeddings import load_embedder
+
+        key = cfg.raw.get("embedding_model")
+        cache = getattr(self, "_embedder_cache", None)
+        if cache is None:
+            cache = self._embedder_cache = {}
+        if key not in cache:
+            cache[key] = load_embedder(key)
+        return cache[key]
+
+    def _infer_embeddings(self, group, stacked, n_valid, sr, all_tracks):
+        """Per-recording embeddings inference (reference
+        src/identify_tracks.py:498-499, 536-551): embed every window of every
+        track from the RAW recording PCM (band-pass filters never apply —
+        the reference embeds from `file` directly), classify the embedding
+        vectors with the group's ensemble, and mean per track. Mirrors
+        pipeline/classify.py's embeddings branch recording-by-recording; the
+        embedder forward is one batched call per recording."""
+        from audio_analysis_tpu.pipeline.embeddings import chirp_embeddings
+
+        cfg = group[0][1]
+        embedder = self._embedder_for(cfg)
+        for b, tracks in enumerate(all_tracks):
+            if not tracks:
+                continue
+            frames = np.asarray(stacked[b][: int(n_valid[b])])
+            data = chirp_embeddings(
+                frames, sr, tracks, cfg.segment_stride, embedder=embedder
+            )
+            flat = [np.asarray(e) for track_e in data for e in track_e]
+            if not flat:
+                continue
+            seg = np.concatenate(
+                [
+                    np.full(len(track_e), ti, np.int32)
+                    for ti, track_e in enumerate(data)
+                ]
+            )
+            embs = jnp.asarray(np.stack(flat))
+            all_probs = [m(embs) for m, _ in group]
+            probs = sum(all_probs) / len(all_probs)
+            track_probs = np.asarray(_track_means(probs, seg, len(tracks)))
+            counts = np.bincount(seg, minlength=len(tracks))
+            apply_thresholds(tracks, track_probs, counts, cfg)
+
     def _dispatch(self, recordings, sr=None, meta_data=None, analyse_tracks=False):
         return self._dispatch_prepared(
             self._prepare(recordings, sr, meta_data, analyse_tracks)
@@ -368,7 +427,12 @@ class BatchAnalyzer:
         (detect_handle, frames_dev, n_valid, t_bucket, B, sr, stacked,
          meta_data, analyse_tracks) = handle
         rng = self.rng
-        cfg0 = self.groups[0][0][1]
+        spectral_groups = [g for g in self.groups if not self._is_embeddings(g)]
+        # window planning is a SPECTRAL-group concern (embeddings groups
+        # window the raw PCM themselves); embeddings-only analyzers must not
+        # draw from the shared rng — the single path never plans for them
+        # (classify.py's embeddings branch `continue`s before track_data)
+        cfg0 = spectral_groups[0][0][1] if spectral_groups else None
         per_rec_tracks = []
         all_tracks = []
         plans = []
@@ -395,7 +459,10 @@ class BatchAnalyzer:
                             s.track_id = t["id"]
                             tracks.append(s)
                     per_rec_tracks.append((int(n_valid[b]) / sr, [], tracks))
-                    plans.append(plan_for_config(n_valid[b], sr, tracks, cfg0, rng=rng))
+                    if cfg0 is not None:
+                        plans.append(
+                            plan_for_config(n_valid[b], sr, tracks, cfg0, rng=rng)
+                        )
                     all_tracks.append(tracks)
         else:
             with timer.stage("detect"):
@@ -406,8 +473,10 @@ class BatchAnalyzer:
                         [s.copy() for s in signals], length
                     )
                     per_rec_tracks.append((length, signals, tracks))
-                    plan = plan_for_config(n_valid[b], sr, tracks, cfg0, rng=rng)
-                    plans.append(plan)
+                    if cfg0 is not None:
+                        plans.append(
+                            plan_for_config(n_valid[b], sr, tracks, cfg0, rng=rng)
+                        )
                     all_tracks.append(tracks)
 
         if self._multihost:
@@ -417,32 +486,59 @@ class BatchAnalyzer:
                 analyse_tracks=analyse_tracks,
             )
 
-        if any(p.filter_specs for p in plans):
+        first_spectral = next(
+            (i for i, g in enumerate(self.groups) if not self._is_embeddings(g)),
+            len(self.groups),
+        )
+
+        def _run_embeds(where):
+            # group order defines per-track prediction order (master-tag
+            # arbitration consumes it) — run embeddings groups on their
+            # side of the spectral block
+            for i, g in enumerate(self.groups):
+                if self._is_embeddings(g) and (
+                    i < first_spectral if where == "lead" else i > first_spectral
+                ):
+                    self._infer_embeddings(g, stacked, n_valid, sr, all_tracks)
+
+        if spectral_groups and any(p.filter_specs for p in plans):
             # some tracks need their per-track Butterworth band-pass
             # (reference: src/identify_tracks.py:152-161) — take the
             # per-recording grid path that applies it BEFORE building the
             # combined plan / mesh-replicating the PCM (the replicated
             # device_put of the whole batch would be discarded here)
             with timer.stage("infer"):
-                self._infer_with_filters(frames_dev, sr, all_tracks, plans)
+                _run_embeds("lead")
+                self._infer_with_filters(
+                    frames_dev, sr, all_tracks, plans, groups=spectral_groups
+                )
+                _run_embeds("trail")
             with timer.stage("post"):
                 return self._post(
                     per_rec_tracks, all_tracks, n_valid, sr, B,
                     meta_data=meta_data, analyse_tracks=analyse_tracks,
                 )
 
-        combined = self._combine_plans(plans, t_bucket)
-        flat_frames = frames_dev.reshape(-1)
-        if self.mesh is not None:
-            # replicate PCM for the window gather (local gathers, no
-            # collective); the WINDOW axis shards instead — the only
-            # cross-device op is the psum XLA inserts for the track means.
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            flat_frames = jax.device_put(flat_frames, NamedSharding(self.mesh, P()))
-
         track_offset = np.cumsum([0] + [len(t) for t in all_tracks])
         n_total_tracks = int(track_offset[-1])
+
+        combined = self._combine_plans(plans, t_bucket) if spectral_groups else None
+        if spectral_groups:
+            flat_frames = frames_dev.reshape(-1)
+            if self.mesh is not None:
+                # replicate PCM for the window gather (local gathers, no
+                # collective); the WINDOW axis shards instead — the only
+                # cross-device op is the psum XLA inserts for the track means.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                flat_frames = jax.device_put(
+                    flat_frames, NamedSharding(self.mesh, P())
+                )
+
+        _run_embeds_pre = n_total_tracks > 0
+        if _run_embeds_pre:
+            with timer.stage("infer"):
+                _run_embeds("lead")
 
         # dispatch EVERY group's program before blocking on any result:
         # a per-group blocking np.asarray would serialise group-2's device
@@ -450,7 +546,7 @@ class BatchAnalyzer:
         # finish path — see detect_batch_finish). The plan arrays are
         # identical across groups, so they upload once.
         pending = []
-        if n_total_tracks > 0 and len(combined.base) > 0:
+        if spectral_groups and n_total_tracks > 0 and len(combined.base) > 0:
             padded = pad_plan_to_bucket(
                 WindowPlan(
                     base=combined.base,
@@ -481,7 +577,7 @@ class BatchAnalyzer:
             )
             n_tracks_b = _bucket(n_total_tracks, 8)
             with timer.stage("infer"):
-                for group in self.groups:
+                for group in spectral_groups:
                     cfg = group[0][1]
                     models_only = [m for m, _ in group]
                     # frontend params come from the FIRST group's config —
@@ -510,6 +606,10 @@ class BatchAnalyzer:
                             cfg,
                         )
 
+        if _run_embeds_pre:
+            with timer.stage("infer"):
+                _run_embeds("trail")
+
         with timer.stage("post"):
             return self._post(
                 per_rec_tracks, all_tracks, n_valid, sr, B,
@@ -529,6 +629,24 @@ class BatchAnalyzer:
         from audio_analysis_tpu.parallel import distributed as dist
         from jax.sharding import PartitionSpec as P
 
+        spectral_groups = [g for g in self.groups if not self._is_embeddings(g)]
+        first_spectral = next(
+            (i for i, g in enumerate(self.groups) if not self._is_embeddings(g)),
+            len(self.groups),
+        )
+
+        def _run_embeds(where):
+            # embeddings inference is per-process host+local-device work
+            # with NO collectives, so each process handles only its local
+            # recordings; group identity is identical across processes, so
+            # the branch is collectively consistent. Order around the
+            # spectral block preserves per-track prediction order.
+            for i, g in enumerate(self.groups):
+                if self._is_embeddings(g) and (
+                    i < first_spectral if where == "lead" else i > first_spectral
+                ):
+                    self._infer_embeddings(g, stacked, n_valid, sr, all_tracks)
+
         # per-track band-pass (filter_freq/filter_below, reference
         # src/identify_tracks.py:152-161): the sosfilt work is tiny, so each
         # process runs the per-recording single-device path over ITS local
@@ -536,12 +654,25 @@ class BatchAnalyzer:
         # then joins the usual global result all-gather. The path choice is
         # agreed COLLECTIVELY — a process whose local plans happen to have no
         # filtered track must not enter the SPMD programs alone.
-        has_filters = any(p.filter_specs for p in plans)
+        has_filters = bool(spectral_groups) and any(p.filter_specs for p in plans)
         if any(dist.allgather_host_values(int(has_filters))):
             with timer.stage("infer") if timer else _nullctx():
+                _run_embeds("lead")
                 self._infer_with_filters(
-                    jnp.asarray(stacked), sr, all_tracks, plans
+                    jnp.asarray(stacked), sr, all_tracks, plans,
+                    groups=spectral_groups,
                 )
+                _run_embeds("trail")
+            with timer.stage("post") if timer else _nullctx():
+                results = self._post(
+                    per_rec_tracks, all_tracks, n_valid, sr, B,
+                    meta_data=meta_data, analyse_tracks=analyse_tracks,
+                )
+                return dist.allgather_results(results)
+
+        if not spectral_groups:
+            with timer.stage("infer") if timer else _nullctx():
+                _run_embeds("lead")
             with timer.stage("post") if timer else _nullctx():
                 results = self._post(
                     per_rec_tracks, all_tracks, n_valid, sr, B,
@@ -576,8 +707,10 @@ class BatchAnalyzer:
         flat_frames = dist.replicate(self.mesh, frames_dev).reshape(-1)
         n_windows_global = sum(w_counts)
         track_offsets = np.cumsum([0] + [len(t) for t in all_tracks])
-        cfg0 = self.groups[0][0][1]
-        for group in self.groups:
+        cfg0 = spectral_groups[0][0][1]
+        with timer.stage("infer") if timer else _nullctx():
+            _run_embeds("lead")
+        for group in spectral_groups:
             cfg = group[0][1]
             models_only = [m for m, _ in group]
             if n_total_tracks == 0 or n_windows_global == 0:
@@ -612,6 +745,9 @@ class BatchAnalyzer:
                     cfg,
                 )
 
+        with timer.stage("infer") if timer else _nullctx():
+            _run_embeds("trail")
+
         with timer.stage("post") if timer else _nullctx():
             results = self._post(
                 per_rec_tracks, all_tracks, n_valid, sr, B,
@@ -619,13 +755,15 @@ class BatchAnalyzer:
             )
             return dist.allgather_results(results)
 
-    def _infer_with_filters(self, frames_dev, sr, all_tracks, plans):
+    def _infer_with_filters(self, frames_dev, sr, all_tracks, plans, groups=None):
         """Per-recording inference with the band-pass path (rare configs).
         Matches classify_frames' slow path semantics per recording. Reuses
         the window plans the finish step already drew (planned against each
         recording's TRUE length): planning consumes the shared rng, so
         re-planning here would double-draw and diverge from a seeded
-        single-recording run."""
+        single-recording run. `groups`: the SPECTRAL model groups (embeddings
+        groups never take this path — they window raw PCM themselves)."""
+        groups = self.groups if groups is None else groups
         for b, tracks in enumerate(all_tracks):
             if not tracks:
                 continue
@@ -636,8 +774,8 @@ class BatchAnalyzer:
                 frames_b = frames_b.astype(jnp.float32)
             track_data = None
             feats = None
-            cfg0 = self.groups[0][0][1]
-            for group in self.groups:
+            cfg0 = groups[0][0][1]
+            for group in groups:
                 cfg = group[0][1]
                 if track_data is None:
                     track_data = gather_window_grid(frames_b, sr, plans[b])

@@ -353,6 +353,43 @@ def bench_breakdown(recordings, sr=48000):
     }
 
 
+def bench_wire_invariants(recordings, analyzer, sr=48000):
+    """Tunnel-weather-invariant figures (VERDICT r3 #4): the headline
+    audio-s/s swings 2x with the tunnel's minute-scale bandwidth, so
+    round-over-round comparisons need fields that don't. Wire bytes per
+    audio-second is a pure property of the codec; the warm-batch per-stage
+    seconds isolate device+host work; and the derived 50 MB/s throughput is
+    the wire-bound steady-state model (device compute fully overlaps the
+    next batch's transfer — docs/PERFORMANCE.md) evaluated at a fixed
+    reference bandwidth instead of whatever the tunnel gave this window."""
+    import jax
+
+    from audio_analysis_tpu.io.pcmcodec import encode_pcm, BLOCK
+    from audio_analysis_tpu.utils.runtime import StageTimer
+
+    audio_s = sum(len(r) for r in recordings) / sr
+    t_bucket = max(len(r) for r in recordings)
+    t_bucket = -(-t_bucket // BLOCK) * BLOCK
+    stacked = np.zeros((len(recordings), t_bucket), np.int16)
+    for i, r in enumerate(recordings):
+        stacked[i, : len(r)] = r
+    enc = encode_pcm(stacked)
+    enc_bytes = sum(
+        np.asarray(a).nbytes for a in jax.tree_util.tree_leaves(enc)
+    )
+    raw_bps = 2 * sr  # int16 PCM
+    codec_bps = enc_bytes / audio_s
+    timer = StageTimer()
+    analyzer.analyse_recordings(recordings, timer=timer)
+    return {
+        "codec_bytes_per_audio_s": round(codec_bps, 1),
+        "raw_bytes_per_audio_s": raw_bps,
+        "wire_ratio": round(codec_bps / raw_bps, 4),
+        "stage_seconds_warm_batch": timer.as_dict(),
+        "throughput_at_50MBps_wire_bound": round(audio_s * 50e6 / enc_bytes, 1),
+    }
+
+
 def bench_pallas_melspec(sr=48000):
     """A/B the Pallas DFT->mel kernel vs the XLA FFT path on a 128-window
     grid; returns times and the keep/delete verdict input."""
@@ -485,6 +522,8 @@ def main():
         latency = bench_latency(models, sr=sr)
     pallas = bench_pallas_melspec(sr=sr)
     breakdown = bench_breakdown(recordings, sr=sr)
+    with _env(**_PARITY_ENV):
+        wire_invariants = bench_wire_invariants(recordings, analyzer, sr=sr)
 
     print(
         json.dumps(
@@ -507,6 +546,7 @@ def main():
                 "latency_s_per_60s_recording": latency,
                 "pallas_melspec_ms_per_128_windows": pallas,
                 "breakdown": breakdown,
+                "wire_invariants": wire_invariants,
             }
         )
     )

@@ -108,3 +108,127 @@ def test_load_embedder_missing():
 
     with pytest.raises(FileNotFoundError):
         load_embedder("/nonexistent/embedder")
+
+
+# ---------------------------------------------------------------------------
+# batch serving (round 4): BatchAnalyzer handles embeddings groups
+# ---------------------------------------------------------------------------
+
+
+def _local_embedder(tmp_path):
+    emb_path = tmp_path / "embedder.keras"
+    tf.keras.utils.set_random_seed(6)
+    inp = tf.keras.Input((EMB_SAMPLES,))
+    x = tf.keras.layers.Reshape((EMB_SAMPLES // EMB_DIM, EMB_DIM))(inp)
+    x = tf.keras.layers.GlobalAveragePooling1D()(x)
+    logits = tf.keras.layers.Dense(8, name="logits")(x)
+    emb = tf.keras.layers.Dense(EMB_DIM, name="embedding")(x)
+    tf.keras.Model(inp, [logits, emb]).save(str(emb_path))
+    return emb_path
+
+
+def _batch_recs(n=3):
+    recs = []
+    for i in range(n):
+        rng = np.random.RandomState(40 + i)
+        t = np.arange(10 * SR) / SR
+        y = (0.01 * rng.randn(len(t))).astype(np.float32)
+        m = (t > 1.5 + i) & (t < 2.7 + i)
+        phase = 2 * np.pi * ((2600 + 200 * i) * t[m] + 250 * (t[m] - 1.5 - i) ** 2)
+        y[m] += (0.6 * np.sin(phase)).astype(np.float32)
+        recs.append(y)
+    return recs
+
+
+def _compare_tracks(got_results, single_tracks_per_rec):
+    for got, ref_tracks in zip(got_results, single_tracks_per_rec):
+        ids = got["species_identify"]
+        assert len(ids) == len(ref_tracks)
+        for a, tr in zip(ids, ref_tracks):
+            b = tr.get_meta()
+            assert a["begin_s"] == pytest.approx(b["begin_s"])
+            assert [r["model"] for r in a["model_results"]] == [
+                r["model"] for r in b["model_results"]
+            ]
+            for ra, rb in zip(a["model_results"], b["model_results"]):
+                pa, pb = ra["predictions"], rb["predictions"]
+                assert [p["label"] for p in pa] == [p["label"] for p in pb]
+                for x, y in zip(pa, pb):
+                    assert abs(x["confidence"] - y["confidence"]) <= 1
+
+
+def test_batch_embeddings_only_matches_single(tmp_path):
+    """An embeddings-only model list through BatchAnalyzer equals the
+    single-recording path track-for-track (VERDICT r3 weak #3: the batch
+    path used to feed embeddings groups spectral features)."""
+    from audio_analysis_tpu.pipeline.serve import BatchAnalyzer
+
+    emb_path = _local_embedder(tmp_path)
+    model_dir = _classifier_head_dir(
+        tmp_path / "emb", extra_meta={"embedding_model": str(emb_path)}
+    )
+    recs = _batch_recs()
+    batch = BatchAnalyzer(
+        [str(model_dir)], sr=SR, bucket_seconds=10, rng=None
+    ).analyse_recordings(recs)
+    singles = [
+        classify_mod.classify_frames(r, SR, [str(model_dir)], False, None, rng=None)[0]
+        for r in recs
+    ]
+    for tracks in singles:
+        for t in tracks:
+            t.set_master_tag()
+    _compare_tracks(batch, singles)
+
+
+def test_batch_mixed_spectral_plus_embeddings_matches_single(tmp_path):
+    """Spectral mean group + embeddings pre-model group: both paths must
+    agree, and per-track prediction ORDER (spectral first) must match the
+    single path's group order."""
+    import json as _json
+
+    from audio_analysis_tpu.pipeline.serve import BatchAnalyzer
+
+    emb_path = _local_embedder(tmp_path)
+    emb_dir = _classifier_head_dir(
+        tmp_path / "emb",
+        extra_meta={"embedding_model": str(emb_path), "pre_model": True},
+    )
+    spec_dir = tmp_path / "spec"
+    spec_dir.mkdir()
+    tf.keras.utils.set_random_seed(7)
+    inp = tf.keras.Input((64, 226, 1))
+    x = tf.keras.layers.Conv2D(4, 3, strides=4, padding="same", activation="relu")(inp)
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    out = tf.keras.layers.Dense(3, activation="softmax")(x)
+    tf.keras.Model(inp, out).save(str(spec_dir / "audioModel.keras"))
+    (spec_dir / "metadata.txt").write_text(
+        _json.dumps(
+            {
+                "name": "specnet",
+                "labels": ["bird", "human", "noise"],
+                "segment_length": 3,
+                "segment_stride": 1.5,
+                "hop_length": 640,
+                "n_mels": 64,
+                "break_freq": 1750,
+                "htk": True,
+                "threshold": 0.2,
+                "normalize": True,
+            }
+        )
+    )
+    models = [str(spec_dir), str(emb_dir)]
+    recs = _batch_recs()
+    batch = BatchAnalyzer(
+        models, sr=SR, bucket_seconds=10, rng=None
+    ).analyse_recordings(recs)
+    singles = [
+        classify_mod.classify_frames(r, SR, models, False, None, rng=None)[0]
+        for r in recs
+    ]
+    for tracks in singles:
+        for t in tracks:
+            t.set_master_tag()
+    assert any(len(t.results) == 2 for tracks in singles for t in tracks)
+    _compare_tracks(batch, singles)
