@@ -16,8 +16,11 @@ import numpy as np
 
 
 def read_keras_archive(path):
-    """Return (config_dict, weights) where weights maps
-    "layer/path" -> [np.ndarray var0, var1, ...] in Keras variable order."""
+    """Return (config_dict, weights, meta) where weights maps
+    "layer/path" -> [np.ndarray var0, var1, ...] in Keras variable order and
+    meta is the archive's metadata.json ({"keras_version": ...} — the
+    saving generation changes both graph-ref conventions and some
+    activation SEMANTICS, e.g. Keras-2 hard_sigmoid)."""
     path = Path(path)
     if path.is_dir():
         # a model dir containing the archive (reference passes either form)
@@ -28,8 +31,12 @@ def read_keras_archive(path):
     with zipfile.ZipFile(path) as z:
         config = json.loads(z.read("config.json"))
         h5_bytes = z.read("model.weights.h5")
+        try:
+            meta = json.loads(z.read("metadata.json"))
+        except KeyError:
+            meta = {}
     weights = _read_weights_h5(h5_bytes)
-    return config, weights
+    return config, weights, meta
 
 
 def _read_weights_h5(h5_bytes):

@@ -90,30 +90,35 @@ _TF_OPS = {
     "math.multiply": lambda x, y: x * y,
     "math.truediv": lambda x, y: x / y,
     "math.divide": lambda x, y: x / y,
-    "math.pow": jnp.power,
-    "math.abs": jnp.abs,
-    "math.exp": jnp.exp,
-    "math.log": jnp.log,
-    "math.sqrt": jnp.sqrt,
-    "math.rsqrt": jax.lax.rsqrt,
-    "math.square": jnp.square,
-    "math.sigmoid": jax.nn.sigmoid,
-    "math.tanh": jnp.tanh,
-    "math.maximum": jnp.maximum,
-    "math.minimum": jnp.minimum,
+    # parameter names mirror the tf.* API: a scalar second operand
+    # serializes into node kwargs under the TF argument name (e.g.
+    # tf.math.maximum(x, 0.1) -> kwargs {"y": 0.1})
+    "math.pow": lambda x, y: jnp.power(x, y),
+    "math.abs": lambda x: jnp.abs(x),
+    "math.exp": lambda x: jnp.exp(x),
+    "math.log": lambda x: jnp.log(x),
+    "math.sqrt": lambda x: jnp.sqrt(x),
+    "math.rsqrt": lambda x: jax.lax.rsqrt(x),
+    "math.square": lambda x: jnp.square(x),
+    "math.sigmoid": lambda x: jax.nn.sigmoid(x),
+    "math.tanh": lambda x: jnp.tanh(x),
+    "math.maximum": lambda x, y: jnp.maximum(x, y),
+    "math.minimum": lambda x, y: jnp.minimum(x, y),
     "math.reduce_mean": _reduce(jnp.mean),
     "math.reduce_max": _reduce(jnp.max),
     "math.reduce_min": _reduce(jnp.min),
     "math.reduce_sum": _reduce(jnp.sum),
-    "nn.relu": jax.nn.relu,
-    "nn.relu6": lambda x: jnp.clip(x, 0, 6),
-    "nn.silu": lambda x, beta=1.0: x * jax.nn.sigmoid(beta * x),
-    "nn.swish": lambda x: jax.nn.silu(x),
-    "nn.gelu": lambda x, approximate=False: jax.nn.gelu(x, approximate=approximate),
-    "nn.elu": jax.nn.elu,
-    "nn.softmax": lambda x, axis=-1: jax.nn.softmax(x, axis=axis),
-    "nn.sigmoid": jax.nn.sigmoid,
-    "nn.tanh": jnp.tanh,
+    "nn.relu": lambda features: jax.nn.relu(features),
+    "nn.relu6": lambda features: jnp.clip(features, 0, 6),
+    "nn.silu": lambda features, beta=1.0: features * jax.nn.sigmoid(beta * features),
+    "nn.swish": lambda features: jax.nn.silu(features),
+    "nn.gelu": lambda features, approximate=False: jax.nn.gelu(
+        features, approximate=approximate
+    ),
+    "nn.elu": lambda features: jax.nn.elu(features),
+    "nn.softmax": lambda logits, axis=-1: jax.nn.softmax(logits, axis=axis),
+    "nn.sigmoid": lambda x: jax.nn.sigmoid(x),
+    "nn.tanh": lambda x: jnp.tanh(x),
     "clip_by_value": lambda t, clip_value_min, clip_value_max: jnp.clip(
         t, clip_value_min, clip_value_max
     ),
@@ -290,13 +295,22 @@ class KerasModel:
     pinned by tests/test_keras_import.py::test_bf16_compute_parity. Off by
     default — float32 keeps strict reference parity."""
 
-    def __init__(self, config, weights, name_prefix="", compute_dtype=None):
+    def __init__(self, config, weights, name_prefix="", compute_dtype=None,
+                 keras2=False):
         self.config = config
         cfg = config["config"] if "config" in config else config
         self.name = cfg.get("name", "model")
         self._layers = cfg["layers"]
         self._by_name = {_layer_name(l): l for l in self._layers}
         self._prefix = name_prefix
+        self.keras2 = bool(keras2)
+        if self.keras2:
+            # Keras-2 graph refs to NESTED-MODEL layers are offset +1 (the
+            # model's internal construction node is node 0; external calls
+            # start at 1) — shift them onto the enumerated external-call
+            # index once, in place (idempotent via the marker: _run_layer
+            # re-wraps nested configs on every forward).
+            _shift_k2_model_refs(cfg)
         # The weights.h5 keys are NOT the config layer names: Keras
         # regenerates them at save time as snake_case(class_name) with a
         # fresh per-model, per-base counter (explicit layer names are
@@ -331,8 +345,9 @@ class KerasModel:
 
     @classmethod
     def load(cls, path, compute_dtype=None) -> "KerasModel":
-        config, weights = read_keras_archive(path)
-        return cls(config, weights, compute_dtype=compute_dtype)
+        config, weights, meta = read_keras_archive(path)
+        keras2 = str(meta.get("keras_version", "3")).startswith("2")
+        return cls(config, weights, compute_dtype=compute_dtype, keras2=keras2)
 
     # -- execution ----------------------------------------------------------
 
@@ -371,6 +386,7 @@ class KerasModel:
                     {},
                     name_prefix=self._prefix + self._h5key[name] + "/layers/",
                     compute_dtype=self.compute_dtype,
+                    keras2=self.keras2,
                 )
                 yield from sub.walk_layers()
             else:
@@ -405,35 +421,38 @@ class KerasModel:
         for name, inp in zip(self._input_names, inputs):
             values[(name, 0, 0)] = inp
 
-        remaining = [l for l in self._layers if l["class_name"] != "InputLayer"]
+        # per-NODE readiness, not per-layer: a shared layer's later call can
+        # consume its own earlier call's output (e.g. a nested model chained
+        # onto itself), so nodes of one layer must be runnable independently
+        remaining = [
+            (l, node_idx, node)
+            for l in self._layers
+            if l["class_name"] != "InputLayer"
+            for node_idx, node in enumerate(l.get("inbound_nodes", []))
+        ]
         progress = True
         while remaining and progress:
             progress = False
             still = []
-            for layer in remaining:
-                done_all = True
-                for node_idx, node in enumerate(layer.get("inbound_nodes", [])):
-                    refs = _collect_history(node)
-                    if not all(r in values for r in refs):
-                        done_all = False
-                        break
-                if not done_all:
-                    still.append(layer)
+            for layer, node_idx, node in remaining:
+                refs = _collect_history(node)
+                if not all(r in values for r in refs):
+                    still.append((layer, node_idx, node))
                     continue
-                for node_idx, node in enumerate(layer.get("inbound_nodes", [])):
-                    args = _resolve_args(node, values)
-                    kwargs = _resolve_kwargs(node, values)
-                    out = self._run_layer(layer, args, params, kwargs)
-                    if isinstance(out, (list, tuple)):
-                        for ti, o in enumerate(out):
-                            values[(layer["name"], node_idx, ti)] = o
-                    else:
-                        values[(layer["name"], node_idx, 0)] = out
+                args = _resolve_args(node, values)
+                kwargs = _resolve_kwargs(node, values)
+                out = self._run_layer(layer, args, params, kwargs)
+                if isinstance(out, (list, tuple)):
+                    for ti, o in enumerate(out):
+                        values[(layer["name"], node_idx, ti)] = o
+                else:
+                    values[(layer["name"], node_idx, 0)] = out
                 progress = True
             remaining = still
         if remaining:
             raise ValueError(
-                f"could not resolve layers: {[l['name'] for l in remaining]}"
+                "could not resolve layers: "
+                f"{sorted({l['name'] for l, _, _ in remaining})}"
             )
 
         outs = [
@@ -443,6 +462,11 @@ class KerasModel:
         return self._cast_out(outs[0] if len(outs) == 1 else outs)
 
     # -- per-layer dispatch --------------------------------------------------
+
+    def _act(self, name):
+        """Activation with the semantics of the Keras that SAVED the
+        archive (Keras-2 hard_sigmoid differs — see layers.activation)."""
+        return L.activation(name, keras2=self.keras2)
 
     def _vars(self, params, layer_name):
         key = self._prefix + self._h5key[layer_name]
@@ -511,7 +535,7 @@ class KerasModel:
         if "MagTransform" in cls or "MagTransform" in (layer.get("registered_name") or ""):
             return mag_transform(x, v[0])
         if cls == "Conv2D":
-            act = L.activation(cfg.get("activation"))
+            act = self._act(cfg.get("activation"))
             bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
             return act(
                 L.conv2d(
@@ -525,7 +549,7 @@ class KerasModel:
                 )
             )
         if cls == "DepthwiseConv2D":
-            act = L.activation(cfg.get("activation"))
+            act = self._act(cfg.get("activation"))
             bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
             return act(
                 L.depthwise_conv2d(
@@ -538,7 +562,7 @@ class KerasModel:
                 )
             )
         if cls == "SeparableConv2D":
-            act = L.activation(cfg.get("activation"))
+            act = self._act(cfg.get("activation"))
             bias = v[2] if cfg.get("use_bias", True) and len(v) > 2 else None
             y = L.depthwise_conv2d(
                 x,
@@ -550,7 +574,7 @@ class KerasModel:
             )
             return act(L.conv2d(y, v[1], bias, strides=(1, 1), padding="VALID"))
         if cls == "Conv1D":
-            act = L.activation(cfg.get("activation"))
+            act = self._act(cfg.get("activation"))
             bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
             return act(
                 L.conv1d(
@@ -564,7 +588,7 @@ class KerasModel:
                 )
             )
         if cls == "DepthwiseConv1D":
-            act = L.activation(cfg.get("activation"))
+            act = self._act(cfg.get("activation"))
             bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
             return act(
                 L.depthwise_conv1d(
@@ -577,7 +601,7 @@ class KerasModel:
                 )
             )
         if cls == "SeparableConv1D":
-            act = L.activation(cfg.get("activation"))
+            act = self._act(cfg.get("activation"))
             bias = v[2] if cfg.get("use_bias", True) and len(v) > 2 else None
             y = L.depthwise_conv1d(
                 x,
@@ -589,7 +613,7 @@ class KerasModel:
             )
             return act(L.conv1d(y, v[1], bias, strides=1, padding="VALID"))
         if cls == "Conv2DTranspose":
-            act = L.activation(cfg.get("activation"))
+            act = self._act(cfg.get("activation"))
             bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
             return act(
                 L.conv2d_transpose(
@@ -602,7 +626,7 @@ class KerasModel:
                 )
             )
         if cls == "Conv1DTranspose":
-            act = L.activation(cfg.get("activation"))
+            act = self._act(cfg.get("activation"))
             bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
             return act(
                 L.conv1d_transpose(
@@ -615,7 +639,7 @@ class KerasModel:
                 )
             )
         if cls == "Dense":
-            act = L.activation(cfg.get("activation"))
+            act = self._act(cfg.get("activation"))
             bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
             return act(L.dense(x, v[0], bias))
         if cls == "BatchNormalization":
@@ -669,7 +693,7 @@ class KerasModel:
                 return x * a + b
             return L.batch_norm(x, mean, var, gamma, beta, eps=eps, axis=axis)
         if cls == "Activation":
-            return L.activation(cfg.get("activation"))(x)
+            return self._act(cfg.get("activation"))(x)
         if cls == "ReLU":
             y = jnp.where(x < 0, cfg.get("negative_slope", 0.0) * x, x)
             mx = cfg.get("max_value")
@@ -845,6 +869,7 @@ class KerasModel:
                 {},
                 name_prefix=self._prefix + self._h5key[name] + "/layers/",
                 compute_dtype=self.compute_dtype,
+                keras2=self.keras2,
             )
             # share the training context (rng counter + collected stats)
             sub._train_ctx = getattr(self, "_train_ctx", None)
@@ -855,6 +880,67 @@ class KerasModel:
 # ---------------------------------------------------------------------------
 # inbound-node resolution
 # ---------------------------------------------------------------------------
+
+
+def _shift_k2_model_refs(cfg):
+    """Keras-2 ref-index normalisation, in place and idempotent.
+
+    In Keras 2, a nested Model/Sequential layer's keras_history node indices
+    count its INTERNAL construction node first: external calls enumerate as
+    inbound_nodes[0..k] but are referenced as node 1..k+1 (verified
+    empirically against tf_keras 2.21 archives; a twice-called nested model
+    serializes refs [1, 2] for calls [0, 1]). Shift every ref that targets a
+    nested-model layer of THIS graph down by one so the (name, node, tensor)
+    keys match the enumeration `apply` uses."""
+    if cfg.get("__aat_k2_shifted__"):
+        return
+    cfg["__aat_k2_shifted__"] = True
+    layers = cfg.get("layers", [])
+    model_names = {
+        _layer_name(l)
+        for l in layers
+        if l.get("class_name") in ("Functional", "Sequential")
+    }
+    if not model_names:
+        return
+
+    def fix_triple(trip):
+        nm, idx, t = trip[0], trip[1], trip[2]
+        if nm in model_names and isinstance(idx, int) and idx > 0:
+            idx -= 1
+        return [nm, idx, t] + list(trip[3:])
+
+    def walk(obj):
+        if (
+            isinstance(obj, list)
+            and len(obj) in (3, 4)
+            and isinstance(obj[0], str)
+            and isinstance(obj[1], int)
+            and isinstance(obj[2], int)
+            and (len(obj) == 3 or isinstance(obj[3], dict))
+        ):
+            out = fix_triple(obj)
+            if len(out) == 4:
+                out[3] = walk(out[3])
+            return out
+        if isinstance(obj, dict):
+            if obj.get("class_name") == "__keras_tensor__":
+                h = obj["config"]["keras_history"]
+                return {
+                    **obj,
+                    "config": {**obj["config"], "keras_history": fix_triple(h)},
+                }
+            return {k: walk(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [walk(v) for v in obj]
+        return obj
+
+    for l in layers:
+        if "inbound_nodes" in l:
+            l["inbound_nodes"] = walk(l["inbound_nodes"])
+    for key in ("output_layers", "input_layers"):
+        if key in cfg:
+            cfg[key] = walk(cfg[key])
 
 
 def _normalize_node(node):

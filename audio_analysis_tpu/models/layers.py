@@ -18,9 +18,20 @@ _DN = ("NHWC", "HWIO", "NHWC")
 # ---------------------------------------------------------------------------
 
 
-def activation(name):
+def _hard_sigmoid_k2(x):
+    # Keras 2 (tf_keras) semantics: clip(0.2x + 0.5, 0, 1). Keras 3 changed
+    # the definition to relu6(x + 3)/6 (= jax.nn.hard_sigmoid) — archives
+    # must be executed with the semantics of the Keras that SAVED them.
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
+def activation(name, keras2=False):
+    """Resolve a Keras activation string. ``keras2`` selects Keras-2
+    semantics where the two generations disagree (hard_sigmoid, and
+    everything derived from it)."""
     if name is None or name == "linear":
         return lambda x: x
+    hard_sig = _hard_sigmoid_k2 if keras2 else jax.nn.hard_sigmoid
     table = {
         "relu": jax.nn.relu,
         "relu6": lambda x: jnp.clip(x, 0, 6),
@@ -29,13 +40,16 @@ def activation(name):
         "softmax": lambda x: jax.nn.softmax(x, axis=-1),
         "swish": jax.nn.silu,
         "silu": jax.nn.silu,
-        "gelu": jax.nn.gelu,
+        # keras.activations.gelu defaults to approximate=False (exact erf)
+        # in BOTH generations; jax.nn.gelu defaults to the tanh approximation
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
         "elu": jax.nn.elu,
         "selu": jax.nn.selu,
         "softplus": jax.nn.softplus,
         "exponential": jnp.exp,
-        "hard_sigmoid": jax.nn.hard_sigmoid,
-        "hard_swish": lambda x: x * jax.nn.hard_sigmoid(x),
+        "hard_sigmoid": hard_sig,
+        "hard_swish": lambda x: x * hard_sig(x),
+        "hard_silu": lambda x: x * hard_sig(x),
         "leaky_relu": lambda x: jax.nn.leaky_relu(x, 0.3),  # Keras alpha default
         "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
     }

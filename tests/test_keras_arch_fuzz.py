@@ -18,10 +18,10 @@ tf = pytest.importorskip("tensorflow")
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _run(n, start, tmp_path):
+def _run(n, start, tmp_path, flavor="k3"):
     from tools.keras_arch_fuzz import run_sweep
 
-    failures = run_sweep(n, start=start, tmpdir=str(tmp_path))
+    failures = run_sweep(n, start=start, tmpdir=str(tmp_path), flavor=flavor)
     assert not failures, "\n".join(f"seed {s}: {m}" for s, m in failures)
 
 
@@ -29,6 +29,19 @@ def test_arch_fuzz_fast(tmp_path):
     _run(10, 0, tmp_path)
 
 
+def test_arch_fuzz_keras2_fast(tmp_path):
+    """tf_keras (Keras 2) archives — the released-checkpoint generation.
+    This flavor found 4 real importer bugs on its first 25 seeds (hard_
+    sigmoid semantics, nested-model node offset, per-node topological walk,
+    TFOpLambda scalar kwargs)."""
+    _run(10, 0, tmp_path, flavor="k2")
+
+
 @pytest.mark.slow
 def test_arch_fuzz_wide(tmp_path):
     _run(150, 10, tmp_path)
+
+
+@pytest.mark.slow
+def test_arch_fuzz_keras2_wide(tmp_path):
+    _run(100, 10, tmp_path, flavor="k2")

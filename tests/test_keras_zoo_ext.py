@@ -173,3 +173,93 @@ def test_unsupported_layer_message_lists_tf_ops(tmp_path):
 
     with pytest.raises(ValueError, match="unsupported TFOpLambda function"):
         _tf_op("linalg.matmul", "t")
+
+
+# ---------------------------------------------------------------------------
+# Keras-2 semantic differences (found by the k2 architecture fuzz, round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_keras2_hard_sigmoid_semantics(tmp_path, rng):
+    """Keras 2's hard_sigmoid is clip(0.2x+0.5, 0, 1); Keras 3 changed it to
+    relu6(x+3)/6. The importer must use the semantics of the GENERATION that
+    saved the archive (keyed on metadata.json keras_version)."""
+    import tf_keras as tk
+
+    tk.utils.set_random_seed(3)
+    inp = tk.Input((8, 8, 2))
+    x = tk.layers.Conv2D(4, 3, padding="same", activation="hard_sigmoid")(inp)
+    x = tk.layers.Activation("hard_sigmoid")(x)
+    model = tk.Model(inp, tk.layers.GlobalAveragePooling2D()(x))
+    p = str(tmp_path / "m.keras")
+    model.save(p, save_format="keras")
+    data = rng.randn(3, 8, 8, 2).astype(np.float32) * 3.0
+    ref = np.asarray(model.predict(data, verbose=0))
+    ours = np.asarray(KerasModel.load(p)(jnp.asarray(data)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    # and the SAME source model saved by keras 3 must use the NEW semantics
+    keras.utils.set_random_seed(3)
+    inp3 = keras.Input((8, 8, 2))
+    y = kl.Conv2D(4, 3, padding="same", activation="hard_sigmoid")(inp3)
+    y = kl.Activation("hard_swish")(y)
+    m3 = keras.Model(inp3, kl.GlobalAveragePooling2D()(y))
+    p3 = str(tmp_path / "m3.keras")
+    m3.save(p3)
+    ref3 = np.asarray(m3.predict(data, verbose=0))
+    ours3 = np.asarray(KerasModel.load(p3)(jnp.asarray(data)))
+    np.testing.assert_allclose(ours3, ref3, rtol=1e-5, atol=1e-6)
+
+
+def test_gelu_activation_is_exact_not_tanh_approx(tmp_path, rng):
+    """keras.activations.gelu defaults to the exact erf form; jax.nn.gelu
+    defaults to the tanh approximation (max diff ~5e-4) — the importer must
+    use the exact form."""
+    inp = keras.Input((16,))
+    model = keras.Model(inp, kl.Dense(16, activation="gelu")(inp))
+    ref, ours = _roundtrip(model, tmp_path, rng.randn(4, 16).astype(np.float32) * 2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_keras2_nested_model_node_offset(tmp_path, rng):
+    """Keras-2 refs to nested-model layers count the internal construction
+    node: a nested Sequential called once is referenced as node 1, a twice-
+    called nested Functional as nodes 1 and 2. The importer shifts them onto
+    the enumerated external calls."""
+    import tf_keras as tk
+
+    tk.utils.set_random_seed(4)
+    inner_in = tk.Input((8, 3))
+    inner = tk.Model(inner_in, tk.layers.Conv1D(3, 3, padding="same")(inner_in))
+    seq = tk.Sequential([tk.layers.Dense(6), tk.layers.Dense(3)])
+    inp = tk.Input((8, 3))
+    a = inner(inp)          # inner node 1 (serialized)
+    b = inner(a)            # inner node 2
+    c = seq(b)              # seq node 1
+    model = tk.Model(inp, tk.layers.GlobalAveragePooling1D()(c))
+    p = str(tmp_path / "m.keras")
+    model.save(p, save_format="keras")
+    data = rng.randn(2, 8, 3).astype(np.float32)
+    ref = np.asarray(model.predict(data, verbose=0))
+    ours = np.asarray(KerasModel.load(p)(jnp.asarray(data)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_keras2_tfoplambda_scalar_kwarg(tmp_path, rng):
+    """tf.math.maximum(x, 0.1) serializes the scalar operand as node kwarg
+    'y' — the op table's parameter names must match the tf.* API."""
+    import tf_keras as tk
+    import tensorflow as _tf
+
+    tk.utils.set_random_seed(5)
+    inp = tk.Input((6,))
+    x = _tf.math.maximum(inp, 0.1)
+    x = _tf.math.minimum(x, 0.9)
+    x = _tf.math.pow(x, 2.0)
+    model = tk.Model(inp, x)
+    p = str(tmp_path / "m.keras")
+    model.save(p, save_format="keras")
+    data = rng.randn(3, 6).astype(np.float32)
+    ref = np.asarray(model.predict(data, verbose=0))
+    ours = np.asarray(KerasModel.load(p)(jnp.asarray(data)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)

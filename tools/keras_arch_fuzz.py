@@ -52,12 +52,23 @@ def _divisors(n, cap=4):
 
 class _Gen:
     """One seeded random-model draw. Tracks tensor shapes through Keras
-    itself (KerasTensor.shape) so every sampled layer is statically valid."""
+    itself (KerasTensor.shape) so every sampled layer is statically valid.
 
-    def __init__(self, seed):
-        import keras
-        from keras import layers as kl
+    flavor "k3" = modern keras 3 (op-layers, __slice__ specs); "k2" =
+    tf_keras (Keras 2) archives — the generation the RELEASED Cacophony
+    checkpoints were saved by: raw-TF-op use serializes as
+    TFOpLambda/SlicingOpLambda with flat legacy nodes."""
 
+    def __init__(self, seed, flavor="k3"):
+        if flavor == "k2":
+            import tf_keras as keras
+
+            kl = keras.layers
+        else:
+            import keras
+            from keras import layers as kl
+
+        self.flavor = flavor
         self.keras = keras
         self.kl = kl
         self.rng = np.random.RandomState(seed)
@@ -187,6 +198,11 @@ class _Gen:
         if which == "ln":
             nd = len(x.shape)
             ax = rng.choice(["last", "spatial"])
+            if self.flavor == "k2":
+                # tf_keras's fused LN path crashes at predict time on some
+                # multi-axis configs ("scale must be 1D") — the oracle
+                # itself can't run them, so k2 sticks to the last axis
+                ax = "last"
             axis = -1 if ax == "last" else list(range(1, nd))
             return kl.LayerNormalization(
                 axis=axis, center=bool(rng.rand() < 0.8),
@@ -217,8 +233,36 @@ class _Gen:
                             name=next(self.names))(x)
 
     def op_chain(self, x):
-        """Keras-3 op-layers: raw arithmetic / keras.ops on KerasTensors."""
+        """Raw-op use on symbolic tensors: keras-3 op-layers, or (k2) the
+        TFOpLambda/SlicingOpLambda layers tf_keras serializes for the same
+        source code."""
         rng = self.rng
+        if self.flavor == "k2":
+            import tensorflow as tf
+
+            for _ in range(rng.randint(1, 4)):
+                which = rng.randint(0, 8)
+                if which == 0:
+                    x = x * float(rng.randn())
+                elif which == 1:
+                    x = x + float(rng.randn())
+                elif which == 2:
+                    x = tf.nn.relu(x)
+                elif which == 3:
+                    x = tf.clip_by_value(x, -3.0, 3.0)
+                elif which == 4:
+                    x = tf.math.maximum(x, 0.1)
+                elif which == 5:
+                    x = tf.math.tanh(x)
+                elif which == 6:
+                    sp = self._spatial(x)
+                    if sp[0] >= 4:
+                        lo = int(rng.randint(0, sp[0] // 2))
+                        hi = int(rng.randint(sp[0] // 2 + 1, sp[0] + 1))
+                        x = x[:, lo:hi]
+                else:
+                    x = tf.math.reduce_mean(x, axis=-1, keepdims=True)
+            return x
         ops = self.keras.ops
         for _ in range(rng.randint(1, 4)):
             which = rng.randint(0, 8)
@@ -346,23 +390,25 @@ class _Gen:
         return keras.Model(inp, out), shape
 
 
-def check_seed(seed, tmpdir):
+def check_seed(seed, tmpdir, flavor="k3"):
     """Build, save, import, compare. Returns (ok, message)."""
-    import keras
     import jax.numpy as jnp
 
     from audio_analysis_tpu.models import KerasModel
 
-    keras.utils.set_random_seed(seed)
-    gen = _Gen(seed)
+    gen = _Gen(seed, flavor=flavor)
+    gen.keras.utils.set_random_seed(seed)
     model, shape = gen.build()
     rng = np.random.RandomState(seed + 1)
     x = rng.randn(3, *shape).astype(np.float32)
     ref = np.asarray(model.predict(x, verbose=0))
     if not np.all(np.isfinite(ref)):
         return True, "skipped (non-finite reference output)"
-    p = str(Path(tmpdir) / f"fuzz_{seed}.keras")
-    model.save(p)
+    p = str(Path(tmpdir) / f"fuzz_{flavor}_{seed}.keras")
+    if flavor == "k2":
+        model.save(p, save_format="keras")
+    else:
+        model.save(p)
     try:
         ours = np.asarray(KerasModel.load(p)(jnp.asarray(x)))
     except Exception as e:  # unsupported layer = fuzz finding
@@ -376,7 +422,7 @@ def check_seed(seed, tmpdir):
     return True, f"ok (err {err:.1e})"
 
 
-def run_sweep(n_seeds, start=0, log=lambda s: None, tmpdir=None):
+def run_sweep(n_seeds, start=0, log=lambda s: None, tmpdir=None, flavor="k3"):
     import tempfile
 
     failures = []
@@ -384,7 +430,7 @@ def run_sweep(n_seeds, start=0, log=lambda s: None, tmpdir=None):
         td = tmpdir or td
         t0 = time.time()
         for i in range(start, start + n_seeds):
-            ok, msg = check_seed(i, td)
+            ok, msg = check_seed(i, td, flavor=flavor)
             if not ok:
                 failures.append((i, msg))
                 log(f"seed {i}: FAIL {msg}")
@@ -400,8 +446,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("n_seeds", nargs="?", type=int, default=200)
     ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--flavor", choices=("k3", "k2"), default="k3",
+                    help="k2 = tf_keras (Keras 2) archives, the released-"
+                         "checkpoint generation")
     args = ap.parse_args()
-    failures = run_sweep(args.n_seeds, args.start, log=print)
+    failures = run_sweep(args.n_seeds, args.start, log=print, flavor=args.flavor)
     if failures:
         print(f"\n{len(failures)} FAILURES:")
         for s, m in failures:

@@ -45,6 +45,90 @@ def _time(fn, args, reps=32, warm=2):
     return (time.perf_counter() - t0) / reps
 
 
+def _roofline(effnet_dir, model, feats3):
+    """The evidence behind "~10-20 % MFU is XLA's practical ceiling on the
+    reference's channel counts": a per-conv MXU cost model (channel dims pad
+    to the TPU's 128-lane tiles, so true FLOPs / padded FLOPs bounds the
+    achievable MFU independent of fusion quality) plus the compiled HLO's
+    kernel inventory (how much XLA already fused — few kernels means little
+    left for hand scheduling).
+
+    Depthwise convs never touch the MXU (VPU work) — they are listed but
+    excluded from the MXU utilisation bound."""
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    tfm = tf.keras.models.load_model(
+        str(Path(effnet_dir) / "audioModel.keras"), compile=False
+    )
+
+    def pad(c, t=128):
+        return -(-int(c) // t) * t
+
+    convs = []
+    true_mxu = padded_mxu = dw_flops = 0
+    for l in tfm.layers:
+        cls = type(l).__name__
+        if cls not in ("Conv2D", "DepthwiseConv2D"):
+            continue
+        oshape = l.output.shape
+        h, w = int(oshape[1]), int(oshape[2])
+        cin = int(l.input.shape[-1])
+        k = tuple(int(x) for x in l.kernel_size)
+        if cls == "DepthwiseConv2D":
+            flops = 2 * h * w * cin * k[0] * k[1]
+            dw_flops += flops
+            convs.append(
+                {
+                    "layer": l.name, "type": "depthwise", "hw": [h, w],
+                    "cin": cin, "k": list(k),
+                    "mflops": round(flops / 1e6, 2), "unit": "VPU",
+                }
+            )
+            continue
+        cout = int(l.filters)
+        flops = 2 * h * w * cin * cout * k[0] * k[1]
+        # im2col matmul [M, k*k*Cin] x [k*k*Cin, Cout]: both channel-derived
+        # dims land in the 128-lane tile
+        kc = cin * k[0] * k[1]
+        pflops = 2 * h * w * pad(kc) * pad(cout)
+        true_mxu += flops
+        padded_mxu += pflops
+        convs.append(
+            {
+                "layer": l.name, "type": "conv", "hw": [h, w],
+                "cin": cin, "cout": cout, "k": list(k),
+                "mflops": round(flops / 1e6, 2),
+                "lane_utilization": round(flops / pflops, 3),
+            }
+        )
+
+    # compiled HLO of the standalone forward: fusion inventory
+    compiled = jax.jit(lambda x: model(x)).lower(feats3).compile()
+    kinds = {}
+    n_instr = 0
+    for line in compiled.as_text().splitlines():
+        n_instr += 1
+        s = line.strip()
+        if "= fusion(" in s or " fusion(" in s:
+            import re
+
+            m = re.search(r"kind=(\w+)", s)
+            kinds[m.group(1) if m else "unknown"] = (
+                kinds.get(m.group(1) if m else "unknown", 0) + 1
+            )
+    return {
+        "per_conv": convs,
+        "mxu_true_gflops": round(true_mxu / 1e9, 3),
+        "mxu_padded_gflops": round(padded_mxu / 1e9, 3),
+        "depthwise_vpu_gflops": round(dw_flops / 1e9, 3),
+        "mfu_bound_from_lane_padding": round(true_mxu / padded_mxu, 3),
+        "hlo_fusion_kinds": kinds,
+        "hlo_text_lines": n_instr,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=256)
@@ -52,6 +136,9 @@ def main():
                     help="also time EfficientNet block prefixes (many compiles)")
     ap.add_argument("--bf16-stages", action="store_true",
                     help="run the block prefixes in bfloat16 (the AAT_FAST dtype)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="per-conv lane-padding cost model + compiled HLO "
+                         "fusion inventory for the EfficientNet forward")
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     ap.add_argument("--out", default=str(REPO / "PROFILE_FLAGSHIP.json"))
     args = ap.parse_args()
@@ -167,6 +254,9 @@ def main():
                         for k, v in results.items()}
     fused = results["fused_f32"]
     report["windows_per_s_f32"] = round(n / fused, 1)
+    report["windows_per_s_parity_exact"] = round(
+        n / results["fused_parity_exact"], 1
+    )  # the SHIPPED parity default (split-bf16 exact Pallas frontend)
     report["windows_per_s_bf16"] = round(n / results["fused_bf16"], 1)
     report["windows_per_s_fast"] = round(n / results["fused_fast"], 1)
     parts = ["slice_scan", "frontend_xla", "effnet_f32", "track_means"]
@@ -215,6 +305,9 @@ def main():
         finally:
             km._output_spec = spec_orig
         report["effnet_prefixes"] = prefix_times
+
+    if args.roofline:
+        report["roofline"] = _roofline(effnet_dir, model, feats3)
 
     if args.trace:
         with jax.profiler.trace(args.trace):
