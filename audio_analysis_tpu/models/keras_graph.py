@@ -500,9 +500,27 @@ class KerasModel:
         if (
             mod.startswith("keras.src.ops") or mod.startswith("keras.ops")
         ) and cls in _K3_OPS:
+            op = _K3_OPS[cls]
             opkw = {k: w for k, w in cfg.items() if k != "name" and w is not None}
+            # config keys a newer Keras serializes that the op doesn't take
+            # (e.g. dtype) must degrade gracefully, not TypeError — keep
+            # only keys the op's signature names (pass-through when the
+            # signature is unavailable or has **kwargs)
+            import inspect
+
+            try:
+                ps = inspect.signature(op).parameters.values()
+            except (TypeError, ValueError):
+                ps = None
+            if ps is not None and not any(p.kind == p.VAR_KEYWORD for p in ps):
+                known = {
+                    p.name
+                    for p in ps
+                    if p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+                }
+                opkw = {k: w for k, w in opkw.items() if k in known}
             opkw.update(kwargs)
-            return _K3_OPS[cls](*args, **opkw)
+            return op(*args, **opkw)
 
         if cls in ("Dropout", "SpatialDropout2D", "GaussianNoise", "GaussianDropout", "Identity", "ActivityRegularization"):
             ctx = getattr(self, "_train_ctx", None)
@@ -613,6 +631,18 @@ class KerasModel:
             )
             return act(L.conv1d(y, v[1], bias, strides=1, padding="VALID"))
         if cls == "Conv2DTranspose":
+            # fail loudly (docs/API.md contract) instead of importing with a
+            # silently different output shape/values
+            if cfg.get("output_padding") is not None:
+                raise ValueError(
+                    f"unsupported Keras layer config: {cls} with "
+                    f"output_padding={cfg['output_padding']!r}"
+                )
+            if cfg.get("groups", 1) != 1:
+                raise ValueError(
+                    f"unsupported Keras layer config: {cls} with "
+                    f"groups={cfg['groups']!r}"
+                )
             act = self._act(cfg.get("activation"))
             bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
             return act(
@@ -626,6 +656,16 @@ class KerasModel:
                 )
             )
         if cls == "Conv1DTranspose":
+            if cfg.get("output_padding") is not None:
+                raise ValueError(
+                    f"unsupported Keras layer config: {cls} with "
+                    f"output_padding={cfg['output_padding']!r}"
+                )
+            if cfg.get("groups", 1) != 1:
+                raise ValueError(
+                    f"unsupported Keras layer config: {cls} with "
+                    f"groups={cfg['groups']!r}"
+                )
             act = self._act(cfg.get("activation"))
             bias = v[1] if cfg.get("use_bias", True) and len(v) > 1 else None
             return act(

@@ -6,7 +6,11 @@ The reference loads every model through tf.keras
 - a ``.keras`` archive (or a dir containing one): imported TF-free into the
   KerasModel executor;
 - a native checkpoint dir (metadata.txt with ``"architecture": "tuinet"`` +
-  weights.npz): the framework's own trained models.
+  weights.npz): the framework's own trained models;
+- a native dense stack (``"architecture": "dense"``): flat-vector inputs —
+  the TF-free deployment path for embeddings classifier heads (reference
+  loads them through tf.keras, src/identify_tracks.py:302-327) without
+  needing a .keras archive.
 
 Every returned model is a jit'd callable ``model(x) -> probs`` over a
 [n_windows, ...] feature grid.
@@ -71,6 +75,38 @@ def load_classifier(model_path, cfg: ModelConfig):
 
 def _load_classifier_uncached(model_path, cfg: ModelConfig):
     arch = (cfg.raw or {}).get("architecture")
+
+    if arch == "dense":
+        # native dense stack over flat vectors [N, D] (embeddings heads;
+        # also usable as a toy embedder). Params: list of {kernel, bias};
+        # relu between layers, "output_activation" on the last (default
+        # softmax, "linear" for embedders). Optional "net_pool" p first
+        # mean-pools [N, S] -> [N, S//p, p] -> mean over the middle axis.
+        from audio_analysis_tpu.io.checkpoint import load_checkpoint_params
+        import jax.nn
+        import jax.numpy as jnp
+
+        params = load_checkpoint_params(model_path)
+        raw = cfg.raw or {}
+        pool = raw.get("net_pool")
+        activation = raw.get("output_activation", "softmax")
+        act_fn = {
+            "softmax": lambda z: jax.nn.softmax(z, axis=-1),
+            "sigmoid": jax.nn.sigmoid,
+            "linear": lambda z: z,
+        }[activation]
+
+        def apply_dense(p, x):
+            x = jnp.asarray(x, jnp.float32)
+            if pool:
+                x = x.reshape(x.shape[0], -1, int(pool)).mean(axis=1)
+            for i, layer in enumerate(p):
+                x = x @ layer["kernel"] + layer["bias"]
+                if i < len(p) - 1:
+                    x = jax.nn.relu(x)
+            return act_fn(x)
+
+        return _JittedModel(apply_dense, params)
 
     if arch == "tuinet" or (model_path.is_dir() and (model_path / "weights.npz").exists()):
         from audio_analysis_tpu.models.birdnet import TuiNet, TuiNetConfig, apply as tuinet_apply

@@ -260,19 +260,24 @@ class BatchAnalyzer:
             cache[key] = load_embedder(key)
         return cache[key]
 
-    def _infer_embeddings(self, group, stacked, n_valid, sr, all_tracks):
+    def _infer_embeddings(self, group, stacked, n_valid, sr, all_tracks,
+                          only_rec=None):
         """Per-recording embeddings inference (reference
         src/identify_tracks.py:498-499, 536-551): embed every window of every
         track from the RAW recording PCM (band-pass filters never apply —
         the reference embeds from `file` directly), classify the embedding
         vectors with the group's ensemble, and mean per track. Mirrors
         pipeline/classify.py's embeddings branch recording-by-recording; the
-        embedder forward is one batched call per recording."""
+        embedder forward is one batched call per recording. `only_rec`
+        restricts to a single recording (the band-pass path interleaves
+        groups per recording)."""
         from audio_analysis_tpu.pipeline.embeddings import chirp_embeddings
 
         cfg = group[0][1]
         embedder = self._embedder_for(cfg)
         for b, tracks in enumerate(all_tracks):
+            if only_rec is not None and b != only_rec:
+                continue
             if not tracks:
                 continue
             frames = np.asarray(stacked[b][: int(n_valid[b])])
@@ -486,33 +491,20 @@ class BatchAnalyzer:
                 analyse_tracks=analyse_tracks,
             )
 
-        first_spectral = next(
-            (i for i, g in enumerate(self.groups) if not self._is_embeddings(g)),
-            len(self.groups),
-        )
-
-        def _run_embeds(where):
-            # group order defines per-track prediction order (master-tag
-            # arbitration consumes it) — run embeddings groups on their
-            # side of the spectral block
-            for i, g in enumerate(self.groups):
-                if self._is_embeddings(g) and (
-                    i < first_spectral if where == "lead" else i > first_spectral
-                ):
-                    self._infer_embeddings(g, stacked, n_valid, sr, all_tracks)
-
         if spectral_groups and any(p.filter_specs for p in plans):
             # some tracks need their per-track Butterworth band-pass
             # (reference: src/identify_tracks.py:152-161) — take the
             # per-recording grid path that applies it BEFORE building the
             # combined plan / mesh-replicating the PCM (the replicated
-            # device_put of the whole batch would be discarded here)
+            # device_put of the whole batch would be discarded here).
+            # Embeddings groups interleave at their exact listed position
+            # inside _infer_with_filters (per-track prediction order feeds
+            # master-tag arbitration).
             with timer.stage("infer"):
-                _run_embeds("lead")
                 self._infer_with_filters(
-                    frames_dev, sr, all_tracks, plans, groups=spectral_groups
+                    frames_dev, sr, all_tracks, plans,
+                    stacked=stacked, n_valid=n_valid,
                 )
-                _run_embeds("trail")
             with timer.stage("post"):
                 return self._post(
                     per_rec_tracks, all_tracks, n_valid, sr, B,
@@ -535,18 +527,20 @@ class BatchAnalyzer:
                     flat_frames, NamedSharding(self.mesh, P())
                 )
 
-        _run_embeds_pre = n_total_tracks > 0
-        if _run_embeds_pre:
-            with timer.stage("infer"):
-                _run_embeds("lead")
-
-        # dispatch EVERY group's program before blocking on any result:
-        # a per-group blocking np.asarray would serialise group-2's device
-        # work behind group-1's tunnel round trip (same fix as the detect
-        # finish path — see detect_batch_finish). The plan arrays are
-        # identical across groups, so they upload once.
+        # dispatch EVERY spectral group's program before blocking on any
+        # result: a per-group blocking np.asarray would serialise group-2's
+        # device work behind group-1's tunnel round trip (same fix as the
+        # detect finish path — see detect_batch_finish). The plan arrays are
+        # identical across groups, so they upload once. Results are then
+        # CONSUMED in full listed-group order (embeddings groups run in
+        # place) so per-track prediction order matches the single path —
+        # master-tag arbitration depends on it.
+        run_embeds = n_total_tracks > 0
+        run_spectral = bool(
+            spectral_groups and n_total_tracks > 0 and len(combined.base) > 0
+        )
         pending = []
-        if spectral_groups and n_total_tracks > 0 and len(combined.base) > 0:
+        if run_spectral:
             padded = pad_plan_to_bucket(
                 WindowPlan(
                     base=combined.base,
@@ -595,20 +589,27 @@ class BatchAnalyzer:
                     except (AttributeError, RuntimeError):
                         pass
                     pending.append((cfg, probs_dev))
-                for cfg, probs_dev in pending:
-                    track_probs = np.asarray(probs_dev)[:n_total_tracks]
-                    for b in range(B):
-                        lo, hi = track_offset[b], track_offset[b + 1]
-                        apply_thresholds(
-                            all_tracks[b],
-                            track_probs[lo:hi],
-                            windows_per_track[lo:hi],
-                            cfg,
-                        )
 
-        if _run_embeds_pre:
+        if run_embeds or run_spectral:
+            pending_iter = iter(pending)
             with timer.stage("infer"):
-                _run_embeds("trail")
+                for group in self.groups:
+                    if self._is_embeddings(group):
+                        if run_embeds:
+                            self._infer_embeddings(
+                                group, stacked, n_valid, sr, all_tracks
+                            )
+                    elif run_spectral:
+                        cfg, probs_dev = next(pending_iter)
+                        track_probs = np.asarray(probs_dev)[:n_total_tracks]
+                        for b in range(B):
+                            lo, hi = track_offset[b], track_offset[b + 1]
+                            apply_thresholds(
+                                all_tracks[b],
+                                track_probs[lo:hi],
+                                windows_per_track[lo:hi],
+                                cfg,
+                            )
 
         with timer.stage("post"):
             return self._post(
@@ -630,22 +631,13 @@ class BatchAnalyzer:
         from jax.sharding import PartitionSpec as P
 
         spectral_groups = [g for g in self.groups if not self._is_embeddings(g)]
-        first_spectral = next(
-            (i for i, g in enumerate(self.groups) if not self._is_embeddings(g)),
-            len(self.groups),
-        )
 
-        def _run_embeds(where):
-            # embeddings inference is per-process host+local-device work
-            # with NO collectives, so each process handles only its local
-            # recordings; group identity is identical across processes, so
-            # the branch is collectively consistent. Order around the
-            # spectral block preserves per-track prediction order.
-            for i, g in enumerate(self.groups):
-                if self._is_embeddings(g) and (
-                    i < first_spectral if where == "lead" else i > first_spectral
-                ):
-                    self._infer_embeddings(g, stacked, n_valid, sr, all_tracks)
+        # embeddings inference is per-process host+local-device work with NO
+        # collectives, so each process handles only its local recordings;
+        # group identity is identical across processes, so every branch
+        # below is collectively consistent. Groups run / results append in
+        # LISTED order (per-track prediction order feeds master-tag
+        # arbitration, matching the single path).
 
         # per-track band-pass (filter_freq/filter_below, reference
         # src/identify_tracks.py:152-161): the sosfilt work is tiny, so each
@@ -657,12 +649,10 @@ class BatchAnalyzer:
         has_filters = bool(spectral_groups) and any(p.filter_specs for p in plans)
         if any(dist.allgather_host_values(int(has_filters))):
             with timer.stage("infer") if timer else _nullctx():
-                _run_embeds("lead")
                 self._infer_with_filters(
                     jnp.asarray(stacked), sr, all_tracks, plans,
-                    groups=spectral_groups,
+                    stacked=stacked, n_valid=n_valid,
                 )
-                _run_embeds("trail")
             with timer.stage("post") if timer else _nullctx():
                 results = self._post(
                     per_rec_tracks, all_tracks, n_valid, sr, B,
@@ -672,7 +662,8 @@ class BatchAnalyzer:
 
         if not spectral_groups:
             with timer.stage("infer") if timer else _nullctx():
-                _run_embeds("lead")
+                for group in self.groups:
+                    self._infer_embeddings(group, stacked, n_valid, sr, all_tracks)
             with timer.stage("post") if timer else _nullctx():
                 results = self._post(
                     per_rec_tracks, all_tracks, n_valid, sr, B,
@@ -708,13 +699,20 @@ class BatchAnalyzer:
         n_windows_global = sum(w_counts)
         track_offsets = np.cumsum([0] + [len(t) for t in all_tracks])
         cfg0 = spectral_groups[0][0][1]
-        with timer.stage("infer") if timer else _nullctx():
-            _run_embeds("lead")
-        for group in spectral_groups:
+        for group in self.groups:
+            if self._is_embeddings(group):
+                # local host work, no collectives; group list is identical
+                # across processes so everyone takes this branch together
+                with timer.stage("infer") if timer else _nullctx():
+                    self._infer_embeddings(group, stacked, n_valid, sr, all_tracks)
+                continue
             cfg = group[0][1]
             models_only = [m for m, _ in group]
             if n_total_tracks == 0 or n_windows_global == 0:
-                break  # globally agreed: every process breaks together
+                # globally agreed (both counts are all-gathered): every
+                # process skips the SPMD program together; later embeddings
+                # groups still run (they no-op without tracks anyway)
+                continue
             n_tracks_b = _bucket(n_total_tracks, 8)
             # group-1 features for every group (reference :525-528)
             prog = _fused_group_program(
@@ -745,9 +743,6 @@ class BatchAnalyzer:
                     cfg,
                 )
 
-        with timer.stage("infer") if timer else _nullctx():
-            _run_embeds("trail")
-
         with timer.stage("post") if timer else _nullctx():
             results = self._post(
                 per_rec_tracks, all_tracks, n_valid, sr, B,
@@ -755,15 +750,19 @@ class BatchAnalyzer:
             )
             return dist.allgather_results(results)
 
-    def _infer_with_filters(self, frames_dev, sr, all_tracks, plans, groups=None):
+    def _infer_with_filters(self, frames_dev, sr, all_tracks, plans,
+                            stacked=None, n_valid=None):
         """Per-recording inference with the band-pass path (rare configs).
         Matches classify_frames' slow path semantics per recording. Reuses
         the window plans the finish step already drew (planned against each
         recording's TRUE length): planning consumes the shared rng, so
         re-planning here would double-draw and diverge from a seeded
-        single-recording run. `groups`: the SPECTRAL model groups (embeddings
-        groups never take this path — they window raw PCM themselves)."""
-        groups = self.groups if groups is None else groups
+        single-recording run. Runs self.groups in LISTED order per recording
+        — embeddings groups (which window raw PCM themselves, band-pass
+        never applies) execute at their exact position so per-track
+        prediction order matches the single path."""
+        spectral = [g for g in self.groups if not self._is_embeddings(g)]
+        cfg0 = spectral[0][0][1] if spectral else None
         for b, tracks in enumerate(all_tracks):
             if not tracks:
                 continue
@@ -774,14 +773,22 @@ class BatchAnalyzer:
                 frames_b = frames_b.astype(jnp.float32)
             track_data = None
             feats = None
-            cfg0 = groups[0][0][1]
-            for group in groups:
+            for group in self.groups:
                 cfg = group[0][1]
+                if self._is_embeddings(group):
+                    self._infer_embeddings(
+                        group, stacked, n_valid, sr, all_tracks, only_rec=b
+                    )
+                    continue
                 if track_data is None:
                     track_data = gather_window_grid(frames_b, sr, plans[b])
                 grid, plan = track_data
                 if len(plan.base) == 0:
-                    break
+                    # every track out of band: skip THIS spectral group's
+                    # inference but keep iterating (single path `continue`s,
+                    # classify.py has_windows=False — later embeddings
+                    # groups must still run)
+                    continue
                 if feats is None:
                     # group-1 features are reused verbatim by later groups
                     # (reference src/identify_tracks.py:525-528)

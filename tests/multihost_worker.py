@@ -54,7 +54,9 @@ def make_track_meta(global_idx: int) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", required=True)
+    # repeatable: --model spec_dir --model emb_dir builds a multi-group
+    # analyzer (embeddings dirs name their embedder in metadata.txt)
+    ap.add_argument("--model", action="append", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--num-processes", type=int, default=1)
@@ -81,7 +83,7 @@ def main() -> int:
         make_recording(pid * per_proc + i) for i in range(per_proc)
     ]
     analyzer = BatchAnalyzer(
-        [args.model], sr=SR, bucket_seconds=SECONDS, rng=None, mesh=mesh
+        args.model, sr=SR, bucket_seconds=SECONDS, rng=None, mesh=mesh
     )
     metas = (
         [make_track_meta(pid * per_proc + i) for i in range(per_proc)]

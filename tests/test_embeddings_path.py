@@ -232,3 +232,51 @@ def test_batch_mixed_spectral_plus_embeddings_matches_single(tmp_path):
             t.set_master_tag()
     assert any(len(t.results) == 2 for tracks in singles for t in tracks)
     _compare_tracks(batch, singles)
+
+
+def test_embeddings_path_native_dense_tf_free(tmp_path, rng):
+    """The fully TF-free embeddings deployment: a native 'dense' classifier
+    head whose metadata names a native 'dense' embedder — no .keras archive
+    anywhere (registry arch 'dense'; the dryrun_multichip mixed leg uses
+    exactly this shape)."""
+    from audio_analysis_tpu.io.checkpoint import save_checkpoint
+
+    r = np.random.RandomState(9)
+    emb_dim = 32
+    emb_dir = tmp_path / "embedder"
+    save_checkpoint(
+        emb_dir,
+        [{
+            "kernel": (r.randn(emb_dim, emb_dim) * 0.5).astype(np.float32),
+            "bias": np.zeros(emb_dim, np.float32),
+        }],
+        {"architecture": "dense", "net_pool": emb_dim,
+         "output_activation": "linear", "labels": []},
+    )
+    head_dir = tmp_path / "head"
+    save_checkpoint(
+        head_dir,
+        [{
+            "kernel": r.randn(emb_dim, 2).astype(np.float32),
+            "bias": np.zeros(2, np.float32),
+        }],
+        {"name": "embeddings", "architecture": "dense",
+         "labels": ["bird", "noise"], "segment_stride": 5,
+         "threshold": 0.1, "embedding_model": str(emb_dir)},
+    )
+    tracks = classify_mod.classify_frames(
+        _recording(rng), SR, [str(head_dir)], False, None, rng=None
+    )[0]
+    _assert_embedding_results(tracks)
+
+    # the head's math is checkable by hand: softmax(relu-free single layer)
+    from audio_analysis_tpu.models.registry import load_classifier
+    from audio_analysis_tpu.io.modelconfig import ModelConfig
+    import jax.numpy as jnp
+
+    head = load_classifier(head_dir, ModelConfig.load(head_dir))
+    x = r.randn(3, emb_dim).astype(np.float32)
+    k, b = [np.load(head_dir / "weights.npz")[n] for n in ("0/kernel", "0/bias")]
+    z = x @ k + b
+    want = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(head(jnp.asarray(x))), want, rtol=1e-5)

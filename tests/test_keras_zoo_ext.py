@@ -263,3 +263,72 @@ def test_keras2_tfoplambda_scalar_kwarg(tmp_path, rng):
     ref = np.asarray(model.predict(data, verbose=0))
     ours = np.asarray(KerasModel.load(p)(jnp.asarray(data)))
     np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_conv_transpose_output_padding_fails_loudly(tmp_path, rng):
+    """output_padding (and groups) are unimplemented in the transpose-conv
+    lowering — an archive using them must hit the fail-loudly contract
+    (docs/API.md), not import with a silently different output. Keras 3
+    dropped the parameter, so only Keras-2 archives can carry it."""
+    import tf_keras as tk
+
+    inp = tk.Input((7, 7, 3))
+    x = tk.layers.Conv2DTranspose(
+        4, 3, strides=2, padding="valid", output_padding=1
+    )(inp)
+    model = tk.Model(inp, x)
+    p = str(tmp_path / "m.keras")
+    model.save(p, save_format="keras")
+    km = KerasModel.load(p)
+    with pytest.raises(ValueError, match="output_padding"):
+        km(jnp.zeros((1, 7, 7, 3)))
+
+    inp = tk.Input((9, 2))
+    x = tk.layers.Conv1DTranspose(4, 3, strides=2, output_padding=1)(inp)
+    model = tk.Model(inp, x)
+    p = str(tmp_path / "m1.keras")
+    model.save(p, save_format="keras")
+    km = KerasModel.load(p)
+    with pytest.raises(ValueError, match="output_padding"):
+        km(jnp.zeros((1, 9, 2)))
+
+
+def test_k3_op_layer_tolerates_unknown_config_key(tmp_path, rng):
+    """A future Keras adding a serialized config key to an op layer (e.g.
+    dtype) must degrade gracefully — keys the op's signature doesn't name
+    are dropped, not passed through to a TypeError."""
+    import json
+    import shutil
+    import zipfile
+
+    inp = keras.Input((8,))
+    x = keras.ops.relu(inp * 2.0)
+    model = keras.Model(inp, x)
+    p = tmp_path / "m.keras"
+    model.save(str(p))
+    data = rng.randn(2, 8).astype(np.float32)
+    ref = model.predict(data, verbose=0)
+
+    # tamper: add an unknown key to every op-layer config in the archive
+    workdir = tmp_path / "unz"
+    with zipfile.ZipFile(p) as z:
+        z.extractall(workdir)
+    cfg = json.loads((workdir / "config.json").read_text())
+    n_tampered = 0
+    for layer in cfg["config"]["layers"]:
+        mod = layer.get("module") or ""
+        if mod.startswith(("keras.src.ops", "keras.ops")):
+            layer["config"]["dtype"] = "float32"
+            layer["config"]["future_knob"] = 7
+            n_tampered += 1
+    assert n_tampered >= 1
+    (workdir / "config.json").write_text(json.dumps(cfg))
+    p2 = tmp_path / "tampered.keras"
+    with zipfile.ZipFile(p2, "w") as z:
+        for f in workdir.rglob("*"):
+            if f.is_file():
+                z.write(f, f.relative_to(workdir))
+    shutil.rmtree(workdir)
+
+    ours = np.asarray(KerasModel.load(str(p2))(jnp.asarray(data)))
+    np.testing.assert_allclose(ours, np.asarray(ref), rtol=1e-6, atol=1e-7)

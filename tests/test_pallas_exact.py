@@ -127,11 +127,15 @@ def test_level_resolution(monkeypatch):
     monkeypatch.setenv("AAT_PALLAS", "1")
     assert fe._use_pallas_default() == fe.PALLAS_FAST
     # near-miss strings must NOT silently disable the kernels below the
-    # unset default — warn once, keep the default level
+    # unset default — warn once, keep the default level.  Under AAT_FAST
+    # the default level is the bf16 throughput kernel (a typo'd AAT_PALLAS
+    # must not silently drop fast mode to parity speed).
     monkeypatch.setenv("AAT_PALLAS", "exact3")
     monkeypatch.setattr(fe, "_WARNED_BAD_LEVEL", False)
-    assert fe._use_pallas_default() == fe.PALLAS_EXACT2
+    assert fe._use_pallas_default() == fe.PALLAS_FAST  # AAT_FAST=1 still set
     assert fe._WARNED_BAD_LEVEL
+    monkeypatch.delenv("AAT_FAST")
+    assert fe._use_pallas_default() == fe.PALLAS_EXACT2  # parity near-miss
     monkeypatch.setenv("AAT_PALLAS", "exact-2")
     assert fe._use_pallas_default() == fe.PALLAS_EXACT2
     # non-TPU backend: everything degrades to the XLA path
