@@ -160,7 +160,27 @@ def resample_poly(x: jnp.ndarray, up: int, down: int, quality: str = "hq") -> jn
 
 
 def resample(x: jnp.ndarray, orig_sr: int, target_sr: int, quality: str = "hq") -> jnp.ndarray:
-    """Resample along the last axis from orig_sr to target_sr."""
+    """Resample along the last axis from orig_sr to target_sr.
+
+    Host-resident input (a numpy array, not a jax.Array) runs the polyphase
+    program on the CPU backend: every such call site (old-index 16 kHz,
+    embeddings 32 kHz, load_recording) converts straight back to numpy, and
+    the tunnel TPU backend compiles the wide 1-D decimation conv
+    pathologically (measured: 10+ min for ONE 20 s recording, uncached
+    across runs — round-5 finding). Device-resident input keeps the
+    caller's backend."""
     if orig_sr == target_sr:
         return x
+    if not isinstance(x, jax.Array):
+        cpu = jax.local_devices(backend="cpu")
+        if cpu and jax.default_backend() != "cpu":
+            with jax.default_device(cpu[0]):
+                return np.asarray(
+                    resample_poly(
+                        jnp.asarray(np.asarray(x)),
+                        int(target_sr),
+                        int(orig_sr),
+                        quality=quality,
+                    )
+                )
     return resample_poly(x, int(target_sr), int(orig_sr), quality=quality)
