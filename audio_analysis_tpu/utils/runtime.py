@@ -49,6 +49,16 @@ def rss_mb() -> float:
     return 0.0
 
 
+def _cpu_primary(val):
+    """True iff `val` names cpu as the PRIMARY jax platform. Must check the
+    FIRST entry, not a substring: the resolved config is a priority list
+    like "axon,cpu", and a substring test silently disabled the persistent
+    compile cache in every TPU process (round-5 finding: a 199 s tunnel
+    compile dropped to 2.2 s cross-process once the cache actually
+    engaged)."""
+    return bool(val) and val.split(",")[0].strip().lower() == "cpu"
+
+
 def enable_compilation_cache():
     """Idempotently point JAX at a persistent compilation cache dir."""
     global _CACHE_ENABLED
@@ -59,14 +69,15 @@ def enable_compilation_cache():
         return
     # The cache exists for slow TPU compiles; on CPU it stores
     # machine-feature-specific AOT results that can SIGILL when loaded on a
-    # different host profile — skip it when CPU is requested (via the env
-    # var OR the config knob, which is how the axon plugin must be overridden).
-    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    # different host profile — skip it when CPU is the PRIMARY platform
+    # (via the env var OR the config knob, which is how the axon plugin
+    # must be overridden).
+    if _cpu_primary(os.environ.get("JAX_PLATFORMS", "")):
         return
     try:
         import jax
 
-        if "cpu" in (jax.config.jax_platforms or "").lower():
+        if _cpu_primary(jax.config.jax_platforms or ""):
             return
     except Exception:
         pass

@@ -304,3 +304,20 @@ def test_batch_cli_analyse_tracks_sync_upload(model_dir, tmp_path, monkeypatch, 
     result = json.loads((tmp_path / "s.txt").read_text())["analysis_result"]
     assert [t["track_id"] for t in result["species_identify"]] == [3]
     assert "chirps" not in result
+
+
+def test_cpu_primary_platform_check():
+    """The persistent-compile-cache gate must key on the PRIMARY platform:
+    the resolved jax_platforms config is a priority list ("axon,cpu"), and
+    a substring check silently disabled the cache in every TPU process
+    (round-5 finding — 199 s tunnel compiles were never cached)."""
+    from audio_analysis_tpu.utils.runtime import _cpu_primary
+
+    assert _cpu_primary("cpu")
+    assert _cpu_primary("cpu,axon")
+    assert _cpu_primary(" CPU , axon")
+    assert not _cpu_primary("axon,cpu")  # the bug: substring said True
+    assert not _cpu_primary("axon")
+    assert not _cpu_primary("tpu,cpu")
+    assert not _cpu_primary("")
+    assert not _cpu_primary(None)
