@@ -194,3 +194,15 @@ def test_morepork_e2e_with_fixture_model(tmp_path, rng):
         assert entry["freq_start"] == 600 and entry["freq_end"] == 1200
         assert entry["predictions"][0]["species"] == ["morepork"]
         assert entry["predictions"][0]["model"] == "morepork"
+
+
+def test_morepork_empty_model_dir_nan_crash_quirk(tmp_path, rng):
+    """QUIRK (preserved on purpose): a morepork dir with no SavedModel
+    members (model_paths finds nothing) divides by zero model count —
+    numpy 0.0*100/0 -> NaN -> round() ValueError, exactly like the
+    reference (src/identify_morepork.py:179 `/ len(model_paths)`)."""
+    y = (0.01 * rng.randn(48000 * 3)).astype(np.float32)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="NaN"):
+        mp.identify_morepork_frames(y, 48000, mp.model_paths(str(empty)))
