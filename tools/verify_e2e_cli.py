@@ -32,7 +32,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-FIX = Path("/tmp/verify_r5_broad")
+import os
+
+FIX = Path(os.environ.get("AAT_VERIFY_FIX_DIR", "/tmp/verify_r5_broad"))
 SR = 48000
 
 
